@@ -1,0 +1,47 @@
+"""Tokenizer: the engine's analyzer, fixed by contract.
+
+Stands in for the ES standard analyzer the reference relies on for its
+full-text ``text`` fields and the ``_all`` match (reference:
+lib/src/kbasesearchengine/search/ElasticIndexingStorage.java:1734-1742,1811;
+case-insensitivity pinned by
+test/src/kbasesearchengine/test/search/ElasticIndexingStorageTest.java:238-249).
+
+Spec (FIXTURES.md §3): ``re.findall(r"[a-z0-9_]+", text.lower())`` —
+word characters on lowered text, suited to code-like corpora.
+
+Exposed three ways:
+ - ``tokenize_py``      pure-Python (oracle + unit tests)
+ - ``tokenize_udf``     scalar pandas UDF -> array<string>
+ - ``token_count_udf``  scalar pandas UDF -> int (doc length dl)
+ - ``SQL_TOKENIZE``     the equivalent DuckDB/ANSI expression (oracle SQL)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_PATTERN = r"[a-z0-9_]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# DuckDB-side equivalent used in oracle SQL strings ({col} formatted in).
+SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9_]+')"
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(tokenize_py)
+
+
+@F.pandas_udf(T.IntegerType())
+def token_count_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: len(tokenize_py(t))).astype("int32")

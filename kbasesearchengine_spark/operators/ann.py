@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane) variant as the scale path — candidate generation via
+bounded bucket join, exact re-rank inside buckets.
+
+All vector math stays in built-in higher-order functions
+(F.aggregate/F.zip_with → JVM codegen); no Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector.
+
+    Single scan + TakeOrderedAndProject — no shuffle beyond the final
+    k-row merge; the scan parallelizes over partitions.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        (
+            _dot(F.col(vec_col).cast("array<double>"), q)
+            / (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn))
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Random-hyperplane signature as an int column (built-in ops only)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec_col.cast("array<double>"), plane) > 0, 1).otherwise(0)
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN variant: probe the query's LSH bucket (± hamming-1 neighbors),
+    exact cosine re-rank inside the probed buckets.
+
+    At 100 TB the embeddings table is written partitioned by bucket so this
+    becomes partition pruning; here it is a pushed-down isin filter.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, p)) > 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if probe_hamming >= 1:
+        probes.update(qsig ^ (1 << i) for i in range(n_planes))
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("bucket").isin([int(x) for x in probes]))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

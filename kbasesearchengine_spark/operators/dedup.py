@@ -1,0 +1,259 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its dedup is event-id dropDuplicates,
+events/EventQueue.java:86-99): exact, MinHash+LSH, SimHash, and n-gram
+Jaccard near-dup — each expressed as DataFrame transforms whose hashing is
+derived from md5 so an independent SQL oracle (DuckDB) can reproduce the
+results bit-for-bit.
+
+Scale notes (100 TB): every operator here is a pure shuffle-on-key
+pipeline — no driver materialization, no cross-join. Candidate generation
+always goes through a bounded-key join (LSH band buckets / rare shingles),
+never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-derived 60-bit hash: identical in Spark and DuckDB
+#   spark: conv(substring(md5(x),1,15),16,10)::bigint
+#   duckdb: from_hex/('0x'||substr(md5(x),1,15))::bigint  (see oracle SQL)
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # rows per band = MINHASH_PERMS // MINHASH_BANDS
+MERSENNE = (1 << 61) - 1
+
+
+def tokens_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) using the engine tokenizer expressed in SQL so the
+    oracle can reproduce it: regexp_extract_all equivalent via split."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9_]+'), x -> x <> '')"
+            )
+        ).alias("pos", "token"),
+    )
+
+
+def shingles_df(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word n-gram shingles as strings."""
+    toks = tokens_df(docs, id_col, text_col)
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = toks
+    parts = [F.col("token")]
+    for i in range(1, n):
+        sh = sh.withColumn(f"_t{i}", F.lead("token", i).over(w))
+        parts.append(F.col(f"_t{i}"))
+    return (
+        sh.where(parts[-1].isNotNull())
+        .select("id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- exact
+
+
+def dedup_exact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash; survivor = min id per group.
+
+    Returns (id, dup_of) for every duplicated row that is not the survivor.
+    Hash-groupBy — one shuffle on md5(text), partial agg handles skew."""
+    h = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h"))
+    surv = h.groupBy("h").agg(F.min("id").alias("dup_of"), F.count("*").alias("n"))
+    return (
+        h.join(surv, "h")
+        .where((F.col("n") > 1) & (F.col("id") != F.col("dup_of")))
+        .select("id", "dup_of")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3,
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """(id, perm, minhash) — perms universal-hash minima over n-gram shingles.
+
+    h_i(x) = (a_i * h60(x) + b_i) mod M61, with a_i/b_i fixed constants —
+    deterministic and SQL-reproducible. One groupBy(id, perm) agg."""
+    sh = shingles_df(docs, id_col, text_col, n).withColumn("hx", _h60(F.col("shingle")))
+    perms_df = docs.sparkSession.range(perms).select(
+        F.col("id").cast("int").alias("perm"),
+        (F.col("id") * 2 + 1).alias("a"),
+        (F.col("id") * 12345 + 7).alias("b"),
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms_df))
+        .select(
+            "id",
+            "perm",
+            ((F.col("a") * F.col("hx") + F.col("b")) % F.lit(MERSENNE)).alias("hv"),
+        )
+        .groupBy("id", "perm")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, bands: int = MINHASH_BANDS, perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """(id, band, bucket) — LSH: hash each band's signature slice."""
+    rows_per_band = perms // bands
+    banded = sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash")))
+                )
+            ).alias("bucket")
+        )
+    )
+
+
+def dedup_minhash_candidates(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    The join key is (band, bucket) — bounded buckets, no O(n²)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n)
+    buckets = minhash_band_buckets(sigs)
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for candidate pairs.
+
+    Candidates share ≥1 *rare* shingle (df ≤ max_shingle_df) — the df cap
+    bounds the per-shingle pair fan-out (skew guard), standard for
+    all-pairs similarity at scale. Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    sh = shingles_df(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    rare = sh.join(sh_df.where(F.col("sdf") <= max_shingle_df), "shingle")
+    a = rare.select(F.col("id").alias("id_a"), "shingle")
+    b = rare.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over tokens, tf-weighted.
+
+    Bit j of simhash = 1 iff sum over distinct tokens of
+    tf * sign(bit j of h60(token)) > 0. Pure groupBy aggregation —
+    expressed with built-in bit ops so an SQL oracle can replicate it.
+    """
+    tf = (
+        tokens_df(docs, id_col, text_col)
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("hx", _h60(F.col("token")))
+    )
+    bit_terms = []
+    for j in range(60):  # h60 gives 60 usable bits
+        bit = F.shiftrightunsigned(F.col("hx"), j) % 2
+        contrib = F.sum(F.col("tf") * (bit * 2 - 1))
+        bit_terms.append(
+            F.when(contrib > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+        )
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return tf.groupBy("id").agg(total.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the 60-bit hash into max_hamming+1 chunks —
+    by pigeonhole, any pair within the radius agrees on ≥1 chunk; join per
+    chunk (bounded key space), verify with bit_count(xor)."""
+    sh = simhash64(docs, id_col, text_col)
+    chunks = max_hamming + 1
+    width = 60 // chunks
+    parts = []
+    for c in range(chunks):
+        parts.append(
+            sh.select(
+                "id",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                (F.shiftrightunsigned(F.col("simhash"), c * width) % (1 << width)).alias(
+                    "ckey"
+                ),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    a = allc.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey"
+    )
+    b = allc.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey"
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

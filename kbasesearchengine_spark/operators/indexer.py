@@ -1,0 +1,427 @@
+"""Inverted-index build: the engine's write path.
+
+From-scratch replacement for what the reference delegates to
+Elasticsearch/Lucene (bulk indexing at
+lib/src/kbasesearchengine/search/ElasticIndexingStorage.java:322-379; the
+whole event->index pipeline of main/IndexerWorker.java collapses into this
+single batch DAG, per SURVEY.md §3.2).
+
+Physical design (built for 100 TB, tested on local[32]):
+
+  corpus ──assign_doc_ids──► docs(doc_id, keys…, lang, sha256, dl, segment)
+          (dense, partition-invariant: doc_id = rank over sorted keys)
+  docs ──agg──► stats(N, avgdl)                       [tiny, broadcast]
+  docs ──mapInPandas tokenize+count──► tokens(doc_id, segment, term, tf, dl)
+          (per-row tf pre-aggregation INSIDE the Arrow batch = map-side
+           combine before any shuffle)
+  tokens ──repartition(segment, term)──sortWithinPartitions(segment, term,
+           doc_id)──mapInPandas encode──► postings(segment, term, df,
+           doc_ids␣Δvarint, tfs␣varint, dls␣varint, block_last, block_max)
+  postings ──groupBy(term).agg(sum df)──► terms(term, df)
+
+Skew: the shuffle key is (segment, term) — `segment` is a bounded doc-range
+bucket, so a stopword's postings are split across all segments (the salt
+role of the north rule's "salted repartitioning by term-hash"); no single
+reducer ever sees more than one segment of one term. Partial aggregation
+(tf within a row batch) happens before the shuffle.
+
+Resume: segments are built in groups; each group is committed with a
+dynamic-partition-overwrite (idempotent) followed by a lineage marker with
+metrics. A killed build reruns only unmarked groups (north rule:
+per-partition lineage + metrics checkpoints).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import tf_norm
+from ..functions.codec import delta_encode, varint_encode
+from ..functions.tokenize import tokenize_py, token_count_udf
+
+BLOCK_SIZE = 128  # postings per block-max block
+
+POSTING_SCHEMA = (
+    "segment int, term string, df int, doc_ids binary, tfs binary, "
+    "dls binary, block_last array<bigint>, block_max array<double>"
+)
+
+
+# ---------------------------------------------------------------- doc ids
+
+
+def assign_doc_ids(
+    df: DataFrame, key_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Dense doc_id = rank of row under ORDER BY key_cols (unique keys).
+
+    Partition-count-invariant (FIXTURES.md §1): the id is the global sort
+    rank, which does not depend on where range-partition boundaries fall,
+    so local[8] and local[32] assign identical ids. Two Arrow-only passes
+    over a persisted range-sorted frame — no driver collect of data rows,
+    no per-row Python.
+    """
+    spark = df.sparkSession
+    nump = num_partitions or spark.sparkContext.defaultParallelism
+    sorted_df = (
+        df.repartitionByRange(nump, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sorted_df.schema if f.name != "_pid"
+    ) + ", doc_id bigint"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = bc.value[pid] + seen
+            seen += len(pdf)
+            out = pdf.drop(columns=["_pid"]).assign(
+                doc_id=np.arange(start, start + len(pdf), dtype=np.int64)
+            )
+            yield out
+
+    result = sorted_df.mapInPandas(assign, schema=out_schema)
+    return result
+
+
+# ---------------------------------------------------------------- docs/stats
+
+
+def build_docs(
+    corpus: DataFrame,
+    key_cols: list[str],
+    text_col: str = "content",
+    doc_id_col: str | None = None,
+    num_segments: int = 16,
+    id_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """docs table: doc_id, keys, metadata, sha256(content), dl, segment.
+
+    sha256 is the per-row invariant carried through the engine (reference
+    analog: the md5 system field, ElasticIndexingStorage.java:404-410).
+    Returns (docs, n_docs). The segment is a contiguous doc_id range bucket.
+    """
+    if doc_id_col is None:
+        with_ids = assign_doc_ids(corpus, key_cols, id_partitions)
+    else:
+        with_ids = corpus.withColumn("doc_id", F.col(doc_id_col).cast("bigint"))
+    n_docs = with_ids.count()
+    seg_size = max(1, math.ceil(n_docs / num_segments))
+    docs = (
+        with_ids.withColumn("sha256", F.sha2(F.col(text_col), 256))
+        .withColumn("dl", token_count_udf(F.col(text_col)))
+        .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
+    )
+    return docs, n_docs
+
+
+def compute_stats(docs: DataFrame) -> dict:
+    row = docs.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    n = int(row["n_docs"])
+    return {"n_docs": n, "avgdl": (row["total_dl"] or 0) / n if n else 0.0}
+
+
+# ---------------------------------------------------------------- tokens
+
+
+def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, segment, term, tf, dl) — tf aggregated inside the Arrow
+    batch, so the shuffle moves one row per distinct (doc, term), not one
+    per token occurrence (map-side combine before the exchange)."""
+    src = docs.select("doc_id", "segment", "dl", F.col(text_col).alias("_text"))
+
+    def explode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, segs, dls, terms, tfs = [], [], [], [], []
+            for did, seg, dl, text in zip(
+                pdf["doc_id"].to_numpy(),
+                pdf["segment"].to_numpy(),
+                pdf["dl"].to_numpy(),
+                pdf["_text"],
+            ):
+                toks = tokenize_py(text)
+                if not toks:
+                    continue
+                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                k = len(uniq)
+                doc_ids.append(np.full(k, did, dtype=np.int64))
+                segs.append(np.full(k, seg, dtype=np.int32))
+                dls.append(np.full(k, dl, dtype=np.int32))
+                terms.append(uniq)
+                tfs.append(counts.astype(np.int32))
+            if not doc_ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_ids),
+                    "segment": np.concatenate(segs),
+                    "term": np.concatenate(terms),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return src.mapInPandas(
+        explode_tf, schema="doc_id bigint, segment int, term string, tf int, dl int"
+    )
+
+
+# ---------------------------------------------------------------- postings
+
+
+def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """Encode one sorted run of token rows into posting rows.
+
+    pdf is sorted by (segment, term, doc_id). Group boundaries are found
+    vectorized; per-group work is numpy slicing + the vectorized codec.
+    """
+    seg = pdf["segment"].to_numpy()
+    term = pdf["term"].to_numpy()
+    doc = pdf["doc_id"].to_numpy().astype(np.uint64)
+    tf = pdf["tf"].to_numpy().astype(np.uint64)
+    dl = pdf["dl"].to_numpy().astype(np.uint64)
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            columns=[
+                "segment", "term", "df", "doc_ids", "tfs", "dls",
+                "block_last", "block_max",
+            ]
+        )
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (seg[1:] != seg[:-1]) | (term[1:] != term[:-1])
+    starts = np.flatnonzero(new_group)
+    ends = np.append(starts[1:], n)
+
+    tfn = tf_norm(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+
+    out = {k: [] for k in (
+        "segment", "term", "df", "doc_ids", "tfs", "dls", "block_last", "block_max")}
+    for s, e in zip(starts, ends):
+        d = doc[s:e]
+        out["segment"].append(int(seg[s]))
+        out["term"].append(term[s])
+        out["df"].append(int(e - s))
+        out["doc_ids"].append(delta_encode(d))
+        out["tfs"].append(varint_encode(tf[s:e]))
+        out["dls"].append(varint_encode(dl[s:e]))
+        nb = math.ceil((e - s) / BLOCK_SIZE)
+        bl, bm = [], []
+        for bi in range(nb):
+            b0, b1 = s + bi * BLOCK_SIZE, min(s + (bi + 1) * BLOCK_SIZE, e)
+            bl.append(int(doc[b1 - 1]))
+            bm.append(float(np.max(tfn[b0:b1])))
+        out["block_last"].append(bl)
+        out["block_max"].append(bm)
+    return pd.DataFrame(out)
+
+
+def build_postings(
+    tokens: DataFrame,
+    avgdl: float,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Sort-based posting construction (the Lucene-analog merge sort).
+
+    Shuffle key (segment, term) bounds every reducer group by the segment
+    size regardless of term frequency — stopword-skew safe by construction.
+    """
+    spark = tokens.sparkSession
+    nump = shuffle_partitions or spark.sparkContext.defaultParallelism
+
+    arranged = tokens.repartition(nump, "segment", "term").sortWithinPartitions(
+        "segment", "term", "doc_id"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            seg = pdf["segment"].to_numpy()
+            term = pdf["term"].to_numpy()
+            # hold back the (possibly incomplete) trailing group
+            last_seg, last_term = seg[-1], term[-1]
+            tail_start = len(pdf)
+            while tail_start > 0 and seg[tail_start - 1] == last_seg and term[
+                tail_start - 1
+            ] == last_term:
+                tail_start -= 1
+            carry = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                yield _encode_groups(head, avgdl)
+        if carry is not None and len(carry):
+            yield _encode_groups(carry, avgdl)
+
+    return arranged.mapInPandas(encode, schema=POSTING_SCHEMA)
+
+
+def build_terms(postings: DataFrame) -> DataFrame:
+    """Global term dictionary: df (and collection frequency is derivable).
+
+    groupBy(term) with a pre-aggregated input (one row per (segment, term))
+    — partial aggregation makes stopwords harmless here."""
+    return postings.groupBy("term").agg(F.sum("df").alias("df"))
+
+
+# ---------------------------------------------------------------- full build
+
+
+class IndexBuilder:
+    """End-to-end builder with per-segment-group lineage + resume.
+
+    Layout under index_dir/:
+      docs/        parquet
+      postings/    parquet, partitioned by segment
+      terms/       parquet (term, df)
+      stats.json   {n_docs, avgdl, num_segments, seg_size, k1, b}
+      _lineage/    docs.json + group-<i>.json markers with metrics
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        num_segments: int = 16,
+        segments_per_commit: int = 4,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.num_segments = num_segments
+        self.segments_per_commit = segments_per_commit
+        self.lineage_dir = os.path.join(index_dir, "_lineage")
+
+    # -- lineage helpers ---------------------------------------------------
+    def _marker_path(self, name: str) -> str:
+        return os.path.join(self.lineage_dir, f"{name}.json")
+
+    def has_marker(self, name: str) -> bool:
+        return os.path.exists(self._marker_path(name))
+
+    def write_marker(self, name: str, payload: dict) -> None:
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        tmp = self._marker_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._marker_path(name))  # atomic
+
+    def read_marker(self, name: str) -> dict | None:
+        if not self.has_marker(name):
+            return None
+        with open(self._marker_path(name)) as f:
+            return json.load(f)
+
+    # -- build -------------------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        key_cols: list[str],
+        text_col: str = "content",
+        doc_id_col: str | None = None,
+        resume: bool = True,
+    ) -> dict:
+        """Build (or resume) the index. Returns final stats dict."""
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        t_all = time.time()
+
+        docs_path = os.path.join(self.index_dir, "docs")
+        if not (resume and self.has_marker("docs")):
+            t0 = time.time()
+            docs, n_docs = build_docs(
+                corpus, key_cols, text_col, doc_id_col, self.num_segments
+            )
+            docs.write.mode("overwrite").parquet(docs_path)
+            stats = compute_stats(spark.read.parquet(docs_path))
+            stats["num_segments"] = self.num_segments
+            stats["seg_size"] = max(1, math.ceil(stats["n_docs"] / self.num_segments))
+            stats["k1"], stats["b"] = 1.2, 0.75
+            with open(os.path.join(self.index_dir, "stats.json"), "w") as f:
+                json.dump(stats, f)
+            self.write_marker(
+                "docs", {"rows": stats["n_docs"], "seconds": time.time() - t0}
+            )
+        with open(os.path.join(self.index_dir, "stats.json")) as f:
+            stats = json.load(f)
+
+        docs_df = spark.read.parquet(docs_path)
+        seg_size = stats["seg_size"]
+        n_segments = max(1, math.ceil(stats["n_docs"] / seg_size))
+
+        groups = [
+            list(range(g, min(g + self.segments_per_commit, n_segments)))
+            for g in range(0, n_segments, self.segments_per_commit)
+        ]
+        postings_path = os.path.join(self.index_dir, "postings")
+        for gi, segs in enumerate(groups):
+            name = f"group-{gi}"
+            if resume and self.has_marker(name):
+                continue
+            t0 = time.time()
+            lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
+            part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            toks = tokenize_tf(part, text_col=text_col)
+            postings = build_postings(toks, stats["avgdl"])
+            postings.write.mode("overwrite").partitionBy("segment").parquet(
+                postings_path
+            )
+            written = spark.read.parquet(postings_path).where(
+                F.col("segment").isin([int(s) for s in segs])
+            )
+            m = written.agg(
+                F.count("*").alias("rows"),
+                F.sum("df").alias("postings"),
+                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias(
+                    "bytes"
+                ),
+            ).collect()[0]
+            self.write_marker(
+                name,
+                {
+                    "segments": segs,
+                    "rows": int(m["rows"] or 0),
+                    "postings": int(m["postings"] or 0),
+                    "bytes": int(m["bytes"] or 0),
+                    "seconds": time.time() - t0,
+                },
+            )
+
+        if not (resume and self.has_marker("terms")):
+            t0 = time.time()
+            postings = spark.read.parquet(postings_path)
+            terms = build_terms(postings)
+            terms.write.mode("overwrite").parquet(os.path.join(self.index_dir, "terms"))
+            self.write_marker("terms", {"seconds": time.time() - t0})
+
+        stats["build_seconds"] = time.time() - t_all
+        return stats

@@ -1,0 +1,285 @@
+"""BM25 top-k query: the engine's read path.
+
+Replaces the reference's query hand-off to Elasticsearch
+(ElasticIndexingStorage.java:1486-1576 builds ES DSL; ES/Lucene executes).
+Semantics pinned by the reference:
+ - conjunctive AND full-text match (`operator: "and"`,
+   ElasticIndexingStorage.java:1364-1375; testMultiwordSearch)
+ - top-k by BM25 desc; deterministic tie-break doc_id asc (SURVEY §2.7 O5)
+
+Physical plan (scales by segment — the per-doc-range shard analog):
+
+  postings parquet ──filter term ∈ query (parquet pushdown)──►
+  groupBy(segment) applyInPandas(segment_topk)   [numpy: decode + intersect
+      + score + bounded heap; block-max skipping]──►
+  global orderBy(score desc, doc_id).limit(k)    [k rows per segment only]
+  ──► broadcast-join docs for hydration
+
+Scores are computed per (term, doc) from scalars and summed over ≤ a few
+query terms — reduction order is fixed (sorted term order), so scores are
+bit-identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.bm25 import tf_norm
+from ..functions.codec import delta_decode, varint_decode
+from ..functions.tokenize import tokenize_py, tokenize_udf
+
+
+# ------------------------------------------------------------ index handle
+
+
+class InvertedIndex:
+    """Read handle over an index directory written by IndexBuilder."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    @property
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        rows = self.terms.where(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+
+
+# ------------------------------------------------------- segment-local kernel
+
+
+def _segment_topk_kernel(
+    pdf: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    mode: str,
+    allowed: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Score one segment's postings for the query terms. Vectorized numpy.
+
+    pdf: posting rows (term, doc_ids, tfs, dls, ...) — one row per term
+    (within one segment). Returns ≤k (doc_id, score) rows.
+    """
+    terms = list(pdf["term"])
+    n_terms = len(idfs)
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if mode == "and" and len(set(terms)) < n_terms:
+        return empty  # some query term absent from this segment
+    decoded = {}
+    for _, row in pdf.iterrows():
+        decoded[row["term"]] = (
+            delta_decode(bytes(row["doc_ids"])).astype(np.int64),
+            varint_decode(bytes(row["tfs"])).astype(np.float64),
+            varint_decode(bytes(row["dls"])).astype(np.float64),
+        )
+    qterms = sorted(decoded.keys())  # fixed reduction order
+
+    if mode == "and":
+        # intersect starting from the rarest list (galloping via searchsorted)
+        qterms_by_df = sorted(qterms, key=lambda t: len(decoded[t][0]))
+        cand = decoded[qterms_by_df[0]][0]
+        for t in qterms_by_df[1:]:
+            ids = decoded[t][0]
+            pos = np.searchsorted(ids, cand)
+            pos = np.minimum(pos, len(ids) - 1)
+            cand = cand[ids[pos] == cand]
+            if cand.size == 0:
+                return empty
+        if allowed is not None:
+            pos = np.searchsorted(allowed, cand)
+            pos = np.minimum(pos, max(len(allowed) - 1, 0))
+            cand = cand[allowed[pos] == cand] if len(allowed) else cand[:0]
+            if cand.size == 0:
+                return empty
+        score = np.zeros(cand.size, dtype=np.float64)
+        for t in qterms:
+            ids, tfs, dls = decoded[t]
+            pos = np.searchsorted(ids, cand)
+            score += idfs[t] * tf_norm(tfs[pos], dls[pos], avgdl)
+        docs_arr = cand
+    else:  # "or": exhaustive vectorized doc-at-a-time (WAND variant separate)
+        all_ids, all_contrib = [], []
+        for t in qterms:
+            ids, tfs, dls = decoded[t]
+            all_ids.append(ids)
+            all_contrib.append(idfs[t] * tf_norm(tfs, dls, avgdl))
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        order = np.argsort(ids, kind="stable")
+        ids, contrib = ids[order], contrib[order]
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        docs_arr = ids[starts]
+        score = np.add.reduceat(contrib, starts)
+        if allowed is not None:
+            if len(allowed):
+                pos = np.searchsorted(allowed, docs_arr)
+                pos = np.minimum(pos, len(allowed) - 1)
+                keep = allowed[pos] == docs_arr
+            else:
+                keep = np.zeros(docs_arr.shape, dtype=bool)
+            docs_arr, score = docs_arr[keep], score[keep]
+
+    if docs_arr.size == 0:
+        return empty
+    if docs_arr.size > k:
+        part = np.argpartition(-score, k - 1)[:k]
+        docs_arr, score = docs_arr[part], score[part]
+    order = np.lexsort((docs_arr, -score))
+    return pd.DataFrame({"doc_id": docs_arr[order], "score": score[order]})
+
+
+# ------------------------------------------------------------- main entry
+
+
+def topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    doc_filter=None,
+    hydrate: bool = True,
+) -> DataFrame:
+    """BM25 top-k over the inverted index.
+
+    doc_filter: optional Column predicate over the docs table (the
+    reference's non-scoring filter context, ElasticIndexingStorage.java:
+    1321-1325); applied BEFORE ranking via a per-segment allowed-doc list.
+    """
+    spark = index.spark
+    terms = sorted(set(tokenize_py(query)))
+    stats = index.stats
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    empty = spark.createDataFrame([], "doc_id bigint, score double")
+
+    if not terms:
+        return empty
+    dfs = index.term_dfs(terms)
+    if mode == "and" and any(t not in dfs for t in terms):
+        return empty  # conjunctive: a term with no postings ⇒ no results
+    terms = [t for t in terms if t in dfs]
+    if not terms:
+        return empty
+    idfs = {t: float(bm25_idf(dfs[t], n)) for t in terms}
+
+    postings_q = index.postings.where(F.col("term").isin(terms))
+
+    bc = spark.sparkContext.broadcast((idfs, avgdl, k, mode))
+
+    if doc_filter is not None:
+        allowed_docs = index.docs.where(doc_filter).select("segment", "doc_id")
+
+        def score_cogroup(p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+            idfs_, avgdl_, k_, mode_ = bc.value
+            allowed = np.sort(d_pdf["doc_id"].to_numpy(dtype=np.int64))
+            return _segment_topk_kernel(p_pdf, idfs_, avgdl_, k_, mode_, allowed)
+
+        scored = (
+            postings_q.groupBy("segment")
+            .cogroup(allowed_docs.groupBy("segment"))
+            .applyInPandas(score_cogroup, schema="doc_id bigint, score double")
+        )
+    else:
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            idfs_, avgdl_, k_, mode_ = bc.value
+            return _segment_topk_kernel(pdf, idfs_, avgdl_, k_, mode_)
+
+        scored = postings_q.groupBy("segment").applyInPandas(
+            score_group, schema="doc_id bigint, score double"
+        )
+
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if not hydrate:
+        return top
+    docs = index.docs.drop("dl")
+    return (
+        top.join(docs, "doc_id", "left")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# --------------------------------------------------- naive DataFrame scorer
+
+
+def topk_naive(
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    doc_id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Exhaustive BM25 top-k composed from built-in DataFrame ops only —
+    no index, no custom kernels. Used as the in-Spark cross-check of the
+    indexed path, and as the driver-facing query over raw tables.
+
+    Plan: tokenize → explode → tf per (doc, term) → broadcast df/stats →
+    score expression → window-free global top-k (orderBy + limit; Spark
+    executes as TakeOrderedAndProject — no full sort materialized).
+    """
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        return corpus.sparkSession.createDataFrame([], f"{doc_id_col} bigint, score double")
+
+    base = corpus.select(
+        F.col(doc_id_col).alias("doc_id"),
+        tokenize_udf(F.col(text_col)).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n = int(stats["n"])
+    avgdl = (stats["tot"] or 0) / n if n else 0.0
+
+    tok = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tok.join(F.broadcast(dfs), "term")
+        .withColumn(
+            "idf", F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("nt"))
+    )
+    if mode == "and":
+        scored = scored.where(F.col("nt") == len(terms))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
