@@ -1,0 +1,122 @@
+"""Benchmark harness: index build + headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": ..., "docs_per_sec": ...}
+
+Parallelism comes from $SPARK_GRAFT_CPUS (default 32). For the N vs 4N
+scaling-efficiency evidence (BENCH/BASELINE.md), run tools/bench_scaling.py
+which executes this file in fresh processes at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kbasesearchengine_spark.operators.indexer import IndexBuilder  # noqa: E402
+from kbasesearchengine_spark.operators.topk import InvertedIndex, topk  # noqa: E402
+from kbasesearchengine_spark.operators import ann, dedup  # noqa: E402
+from kbasesearchengine_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic corpus rows for the index-build throughput number (the
+# documents table is small; the build metric needs a real workload)
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "20000"))
+
+BM25_QUERIES = [
+    ("q_and_common", "spark join vector", "and"),
+    ("q_and_rare", "dup", "and"),
+    ("q_or", "dup key window", "or"),
+    ("q_and_stop", "the small batch", "and"),
+]
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    t_total = time.time()
+
+    # ---- 1. index build over the documents table (fresh, no resume)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    idx_dir = tempfile.mkdtemp(prefix="kbse_bench_idx_")
+    t0 = time.time()
+    builder = IndexBuilder(spark, idx_dir, num_segments=max(4, CPUS // 4),
+                           segments_per_commit=max(4, CPUS // 4))
+    builder.build(docs, key_cols=["doc_id"], text_col="text",
+                  doc_id_col="doc_id", resume=False)
+    timings["index_build_documents"] = time.time() - t0
+
+    # ---- 2. index build over a larger synthetic code corpus (throughput)
+    from kbasesearchengine_spark.corpus import generate_corpus
+
+    corpus_dir = tempfile.mkdtemp(prefix="kbse_bench_corpus_")
+    corpus_pq = os.path.join(corpus_dir, "corpus.parquet")
+    generate_corpus(spark, CORPUS_ROWS, parallelism=CPUS).write.mode(
+        "overwrite"
+    ).parquet(corpus_pq)
+    corpus = spark.read.parquet(corpus_pq)
+    idx2_dir = tempfile.mkdtemp(prefix="kbse_bench_idx2_")
+    t0 = time.time()
+    builder2 = IndexBuilder(spark, idx2_dir, num_segments=CPUS,
+                            segments_per_commit=CPUS)
+    builder2.build(corpus, key_cols=["repo", "path", "commit"], resume=False)
+    build_sec = time.time() - t0
+    timings["index_build_corpus"] = build_sec
+    docs_per_sec = CORPUS_ROWS / build_sec
+
+    # ---- 3. BM25 query latencies over the corpus index
+    index = InvertedIndex(spark, idx2_dir)
+    big_queries = [
+        ("q_and_common", "parser http", "and"),
+        ("q_and_rare", "rfah", "and"),
+        ("q_or", "quorum parser cache", "or"),
+        ("q_and_stop", "license import the", "and"),
+    ]
+    for name, text, mode in big_queries:
+        t0 = time.time()
+        topk(index, text, k=10, mode=mode, hydrate=False).collect()
+        timings[name] = time.time() - t0
+
+    # ---- 4. training-data ops over documents
+    t0 = time.time()
+    dedup.dedup_minhash_candidates(docs, "doc_id", "text").count()
+    timings["dedup_minhash"] = time.time() - t0
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    t0 = time.time()
+    ann.cosine_topk(emb, qvec, k=10).collect()
+    timings["ann_cosine_topk"] = time.time() - t0
+
+    total = time.time() - t_total
+    out = {
+        "metric": "index-build + BM25 top-10 + training-data ops wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "corpus_rows": CORPUS_ROWS,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "n_documents_table": n_docs,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(idx2_dir, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,11 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# md5-derived 60-bit hash: identical in Spark and DuckDB
-#   spark: conv(substring(md5(x),1,15),16,10)::bigint
-#   duckdb: from_hex/('0x'||substr(md5(x),1,15))::bigint  (see oracle SQL)
-def _h60(col):
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+# md5-derived 52-bit hash: identical in Spark and DuckDB, and small enough
+# that a*h+b stays inside int64 in both engines (no overflow divergence).
+#   spark:  conv(substring(md5(x),1,13),16,10)::bigint
+#   duckdb: ('0x'||substr(md5(x),1,13))::bigint  (see oracle SQL)
+HASH_HEX_CHARS = 13
+HASH_BITS = 52
+
+
+def _h52(col):
+    return F.conv(F.substring(F.md5(col), 1, HASH_HEX_CHARS), 16, 10).cast("bigint")
 
 
 MINHASH_PERMS = 16
@@ -88,7 +93,7 @@ def minhash_signatures(
 
     h_i(x) = (a_i * h60(x) + b_i) mod M61, with a_i/b_i fixed constants —
     deterministic and SQL-reproducible. One groupBy(id, perm) agg."""
-    sh = shingles_df(docs, id_col, text_col, n).withColumn("hx", _h60(F.col("shingle")))
+    sh = shingles_df(docs, id_col, text_col, n).withColumn("hx", _h52(F.col("shingle")))
     perms_df = docs.sparkSession.range(perms).select(
         F.col("id").cast("int").alias("perm"),
         (F.col("id") * 2 + 1).alias("a"),
@@ -199,10 +204,10 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         tokens_df(docs, id_col, text_col)
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
-        .withColumn("hx", _h60(F.col("token")))
+        .withColumn("hx", _h52(F.col("token")))
     )
     bit_terms = []
-    for j in range(60):  # h60 gives 60 usable bits
+    for j in range(HASH_BITS):
         bit = F.shiftrightunsigned(F.col("hx"), j) % 2
         contrib = F.sum(F.col("tf") * (bit * 2 - 1))
         bit_terms.append(
@@ -224,7 +229,7 @@ def simhash_near_pairs(
     chunk (bounded key space), verify with bit_count(xor)."""
     sh = simhash64(docs, id_col, text_col)
     chunks = max_hamming + 1
-    width = 60 // chunks
+    width = HASH_BITS // chunks
     parts = []
     for c in range(chunks):
         parts.append(

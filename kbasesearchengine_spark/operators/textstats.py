@@ -124,7 +124,7 @@ def fingerprints(
         F.array_min(
             F.transform(
                 grams,
-                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("bigint"),
             )
         ).alias("fingerprint"),
     )

@@ -144,7 +144,7 @@ def _segment_topk_kernel(
 
     if docs_arr.size == 0:
         return empty
-    if docs_arr.size > k:
+    if k is not None and docs_arr.size > k:
         part = np.argpartition(-score, k - 1)[:k]
         docs_arr, score = docs_arr[part], score[part]
     order = np.lexsort((docs_arr, -score))
@@ -157,7 +157,7 @@ def _segment_topk_kernel(
 def topk(
     index: InvertedIndex,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     mode: str = "and",
     doc_filter=None,
     hydrate: bool = True,
@@ -167,6 +167,8 @@ def topk(
     doc_filter: optional Column predicate over the docs table (the
     reference's non-scoring filter context, ElasticIndexingStorage.java:
     1321-1325); applied BEFORE ranking via a per-segment allowed-doc list.
+    k=None returns ALL matching docs scored (match-only mode, no ranking
+    cut) — used for counts/aggregations over the match set.
     """
     spark = index.spark
     terms = sorted(set(tokenize_py(query)))
@@ -211,7 +213,10 @@ def topk(
             score_group, schema="doc_id bigint, score double"
         )
 
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if k is None:
+        top = scored
+    else:
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not hydrate:
         return top
     docs = index.docs.drop("dl")

@@ -1,0 +1,871 @@
+"""Driver-contract query catalog: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Each entry is the Spark-first re-expression of a reference operator
+(SURVEY.md §2 inventory; citations at each query) or a training-data
+pipeline operator, over the driver's testdata tables. Column names and
+types are aligned between the Spark plan and the oracle SQL (the driver
+hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import ann, dedup, textstats
+from ..operators.indexer import IndexBuilder
+from ..operators.topk import InvertedIndex, topk
+from ..functions.tokenize import tokenize_py
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- index cache
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Build (once, resumable) the inverted index over `documents`."""
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"kbse_index_{tag}")
+        builder = IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=2)
+        builder.build(
+            _docs(spark, sf_dir),
+            key_cols=["doc_id"],
+            text_col="text",
+            doc_id_col="doc_id",
+            resume=True,
+        )
+        _INDEX_CACHE[key] = idx_dir
+    return InvertedIndex(spark, _INDEX_CACHE[key])
+
+
+# =====================================================================
+# Full-text engine queries (reference: match/_all + BM25 via ES;
+# ElasticIndexingStorage.java:1364-1375, 1486-1576)
+# =====================================================================
+
+def _ranked(df: DataFrame) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return df.select(
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_oracle(
+    query: str, k: int = 10, mode: str = "and", filter_sql: str = "TRUE"
+) -> str:
+    terms = sorted(set(tokenize_py(query)))
+    tlist = ",".join(f"'{t}'" for t in terms)
+    and_clause = f"nt = {len(terms)}" if mode == "and" else "TRUE"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE
+                / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+            ) AS score,
+         count(*) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+),
+kept AS (
+  SELECT s.doc_id, s.score FROM scored s JOIN documents d USING (doc_id)
+  WHERE {and_clause} AND ({filter_sql})
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       round(score, 6) AS score
+FROM kept ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+FLAGSHIP_QUERY = "spark join vector"
+
+
+@q("ft_bm25_topk_and", _bm25_oracle(FLAGSHIP_QUERY, 10, "and"))
+def ft_bm25_topk_and(spark, sf_dir):
+    """Conjunctive BM25 top-10 over the inverted index (P4+O4; the
+    reference's match operator:'and' + ES relevance ranking)."""
+    return _ranked(topk(get_index(spark, sf_dir), FLAGSHIP_QUERY, 10, "and",
+                        hydrate=False))
+
+
+@q("ft_bm25_topk_or", _bm25_oracle("dup key window", 10, "or"))
+def ft_bm25_topk_or(spark, sf_dir):
+    """Disjunctive BM25 top-10 (match operator 'or' — ES default)."""
+    return _ranked(topk(get_index(spark, sf_dir), "dup key window", 10, "or",
+                        hydrate=False))
+
+
+@q("ft_bm25_rare_term", _bm25_oracle("dup", 10, "and"))
+def ft_bm25_rare_term(spark, sf_dir):
+    """Single rare term (df≈25/500) — posting pruning path."""
+    return _ranked(topk(get_index(spark, sf_dir), "dup", 10, "and", hydrate=False))
+
+
+@q(
+    "ft_bm25_filtered",
+    _bm25_oracle("spark join", 10, "and", filter_sql="d.lang = 'en'"),
+)
+def ft_bm25_filtered(spark, sf_dir):
+    """BM25 with a non-scoring metadata filter applied BEFORE ranking —
+    the reference's bool.filter context (ElasticIndexingStorage.java:
+    1321-1325); global idf/avgdl stats, filtered candidate set."""
+    return _ranked(
+        topk(
+            get_index(spark, sf_dir),
+            "spark join",
+            10,
+            "and",
+            doc_filter=F.col("lang") == "en",
+            hydrate=False,
+        )
+    )
+
+
+@q(
+    "ft_match_count",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+         '[a-z0-9_]+'))) AS term FROM documents
+)
+SELECT count(*) AS total FROM (
+  SELECT doc_id FROM tok WHERE term IN ('spark','join','vector')
+  GROUP BY doc_id HAVING count(*) = 3
+)
+""",
+)
+def ft_match_count(spark, sf_dir):
+    """hits.total analog (G3, ElasticIndexingStorage.java:1557): count of
+    docs conjunctively matching, straight off the term dictionary join."""
+    index = get_index(spark, sf_dir)
+    docs = topk(index, "spark join vector", k=None, mode="and", hydrate=False)
+    return docs.agg(F.count("*").alias("total"))
+
+
+@q(
+    "ft_search_types",
+    """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+           '[a-z0-9_]+'))) AS term FROM documents) t
+  WHERE term = 'dup'
+)
+SELECT d.lang AS type, count(*) AS cnt FROM documents d
+JOIN m USING (doc_id) GROUP BY d.lang ORDER BY d.lang
+""",
+)
+def ft_search_types(spark, sf_dir):
+    """search_types (G1): terms aggregation over matching docs
+    (ElasticIndexingStorage.java:1263-1302) — count per type for a
+    full-text match, size 0 (no hits)."""
+    index = get_index(spark, sf_dir)
+    matched = topk(index, "dup", k=None, mode="and", hydrate=False).select("doc_id")
+    return (
+        index.docs.join(matched, "doc_id", "left_semi")
+        .groupBy(F.col("lang").alias("type"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("type")
+    )
+
+
+@q(
+    "ft_term_range_page",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars BETWEEN 150 AND 400
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20
+""",
+)
+def ft_term_range_page(spark, sf_dir):
+    """term filter (P1) + inclusive range (P3) + multi-key sort (O1) +
+    from/size pagination (O3, defaults at ElasticIndexingStorage.java:
+    1495-1497) — the reference's lookupInKey surface, Catalyst-native."""
+    return (
+        _docs(spark, sf_dir)
+        .where((F.col("lang") == "en") & F.col("n_chars").between(150, 400))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .offset(20)
+        .limit(10)
+    )
+
+
+@q(
+    "ft_terms_blacklist",
+    """
+SELECT doc_id, lang FROM documents
+WHERE lang NOT IN ('en','de') AND source IN ('src1','src2','src3')
+ORDER BY doc_id
+""",
+)
+def ft_terms_blacklist(spark, sf_dir):
+    """terms whitelist + must_not blacklist (P2/P11; source-tag semantics
+    of ElasticIndexingStorage.java:1404-1412)."""
+    return (
+        _docs(spark, sf_dir)
+        .where(~F.col("lang").isin("en", "de") & F.col("source").isin("src1", "src2", "src3"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ft_get_objects",
+    """
+SELECT doc_id, sha256(text) AS sha256, n_chars FROM documents
+WHERE doc_id IN (3, 141, 77, 209, 0)
+ORDER BY doc_id
+""",
+)
+def ft_get_objects(spark, sf_dir):
+    """get_objects by id (J2, ElasticIndexingStorage.java:1102-1138) with
+    the per-row sha256(content) invariant column (md5 analog :404-410)."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isin(3, 141, 77, 209, 0))
+        .select("doc_id", F.sha2("text", 256).alias("sha256"), "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ft_df_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+         '[a-z0-9_]+'))) AS term FROM documents)
+SELECT term, count(*) AS df FROM tok
+WHERE term IN ('spark','dup','the','vector')
+GROUP BY term ORDER BY term
+""",
+)
+def ft_df_terms(spark, sf_dir):
+    """Term dictionary lookup (G5 index-build aggregation made explicit —
+    what Lucene keeps in its term dictionary)."""
+    index = get_index(spark, sf_dir)
+    return (
+        index.terms.where(F.col("term").isin("spark", "dup", "the", "vector"))
+        .select("term", "df")
+        .orderBy("term")
+    )
+
+
+@q(
+    "ft_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS total_tokens,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl
+FROM tok
+""",
+)
+def ft_stats(spark, sf_dir):
+    """Corpus statistics (N, total token count, avgdl) — the BM25 global
+    state the reference gets implicitly from Lucene."""
+    index = get_index(spark, sf_dir)
+    docs = index.docs
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"),
+    )
+
+
+@q(
+    "ft_highlight",
+    """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+           '[a-z0-9_]+'))) AS term FROM documents) t
+  WHERE term = 'dup')
+SELECT d.doc_id, replace(d.text, 'dup', '<em>dup</em>') AS highlighted
+FROM documents d JOIN m USING (doc_id) ORDER BY d.doc_id LIMIT 10
+""",
+)
+def ft_highlight(spark, sf_dir):
+    """Highlight (T13): <em>-wrapped matches on returned docs
+    (ElasticIndexingStorage.java:1096-1100; expected format pinned at
+    ElasticIndexingStorageTest.java:1519)."""
+    index = get_index(spark, sf_dir)
+    matched = topk(index, "dup", k=None, mode="and", hydrate=False).select("doc_id")
+    return (
+        index.docs.join(matched, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.expr("replace(text, 'dup', '<em>dup</em>')").alias("highlighted"),
+        )
+        .orderBy("doc_id")
+        .limit(10)
+    )
+
+
+@q(
+    "ft_exists_filter",
+    """
+SELECT count(*) AS with_source, sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS long_docs
+FROM documents WHERE source IS NOT NULL AND length(text) > 0
+""",
+)
+def ft_exists_filter(spark, sf_dir):
+    """exists filter (P8, ElasticIndexingStorage.java:1466-1473)."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("source").isNotNull() & (F.length("text") > 0))
+        .agg(
+            F.count("*").alias("with_source"),
+            F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("long_docs"),
+        )
+    )
+
+
+# =====================================================================
+# Relational operator coverage (reference joins/aggs/windows, SURVEY §2.4-2.8)
+# over the TPC-H-ish driver tables
+# =====================================================================
+
+
+@q(
+    "rel_semi_join",
+    """
+SELECT o.o_orderkey, o.o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+""",
+)
+def rel_semi_join(spark, sf_dir):
+    """Left-semi join — the Spark disposition of the reference's ES
+    has_parent access join (J1/A3, ElasticIndexingStorage.java:1442-1484):
+    data rows qualify iff a matching parent row passes a sub-filter."""
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "rel_groupby_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS cnt
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+)
+def rel_groupby_agg(spark, sf_dir):
+    """Hash aggregation with partial (map-side) combine — the G1/G5
+    aggregation shape (searchTypes terms-agg + index-build stats)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "rel_window_islast",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1 ORDER BY o_custkey LIMIT 50
+""",
+)
+def rel_window_islast(spark, sf_dir):
+    """islast maintenance (G4/M1, ElasticIndexingStorage.java:588-622):
+    latest version per key via window row_number — replacing the
+    reference's client-side max + update-by-query scripts."""
+    orders = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+        .limit(50)
+    )
+
+
+@q(
+    "rel_union_types",
+    """
+SELECT doc_id, lang FROM documents WHERE lang = 'de'
+UNION ALL
+SELECT doc_id, lang FROM documents WHERE lang = 'fr'
+ORDER BY doc_id
+""",
+)
+def rel_union_types(spark, sf_dir):
+    """Multi-index union (U1, ElasticIndexingStorage.java:1536-1542):
+    per-type tables searched as one via unionByName."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("lang") == "de")
+        .select("doc_id", "lang")
+        .unionByName(d.where(F.col("lang") == "fr").select("doc_id", "lang"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "rel_broadcast_lookup",
+    """
+SELECT p.p_brand, count(*) AS cnt, round(sum(l.l_extendedprice), 4) AS total
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 10
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+)
+def rel_broadcast_lookup(spark, sf_dir):
+    """lookup transform (T6/J6, KeywordParser.java:309-324): enrich rows
+    from an already-indexed dimension via broadcast hash join."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+        .orderBy("p_brand")
+    )
+
+
+# =====================================================================
+# Event-pipeline analogs (reference events/ subsystem, SURVEY §2.11)
+# =====================================================================
+
+
+@q(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id LIMIT 100
+""",
+)
+def events_latest_per_user(spark, sf_dir):
+    """Per-key latest-event resolution — the ordering queue semantics
+    (E3, events/ObjectEventQueue.java:42-49: per-object timestamp order)
+    as a window computation."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@q(
+    "events_type_counts",
+    """
+SELECT event_type, count(DISTINCT event_id) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_type_counts(spark, sf_dir):
+    """Event-state accounting (E2 state machine tallies; dedup by
+    event_id per EventQueue.java:86-99)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("event_id").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_expand_json",
+    """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_expand_json(spark, sf_dir):
+    """JSON payload extraction (the parse pipeline's path projection,
+    T10/ValueCollector.java:54-168) via get_json_object."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum")
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Training-data pipeline: deduplication family (operators/dedup.py)
+# =====================================================================
+
+_DUCK_TOKS = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+_DUCK_SHINGLES = f"""
+toks AS (SELECT doc_id AS id, {_DUCK_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+  FROM toks)
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+WITH h AS (SELECT doc_id AS id, md5(substr(text, 1, 60)) AS hk FROM documents),
+surv AS (SELECT hk, min(id) AS dup_of, count(*) AS n FROM h GROUP BY hk)
+SELECT h.id, surv.dup_of FROM h JOIN surv USING (hk)
+WHERE surv.n > 1 AND h.id <> surv.dup_of ORDER BY h.id
+""",
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup by content-prefix hash (hash-groupBy; survivor=min id).
+    Uses a 60-char prefix key so the synthetic corpus yields real groups."""
+    d = _docs(spark, sf_dir).withColumn("key_text", F.substring("text", 1, 60))
+    return dedup.dedup_exact(d, "doc_id", "key_text").orderBy("id")
+
+
+@q(
+    "dedup_minhash",
+    f"""
+WITH {_DUCK_SHINGLES},
+hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS hx FROM sh),
+perms AS (SELECT i AS perm, (2*i+1)::BIGINT AS a, (12345*i+7)::BIGINT AS b
+          FROM generate_series(0, 15) s(i)),
+sig AS (SELECT id, perm, min((a * hx + b) % 2305843009213693951) AS minhash
+        FROM hx CROSS JOIN perms GROUP BY id, perm),
+banded AS (
+  SELECT id, (perm // 4)::INT AS band,
+         md5(string_agg(perm || ':' || minhash, ','
+             ORDER BY perm || ':' || minhash)) AS bucket
+  FROM sig GROUP BY id, (perm // 4)::INT)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.id < b.id ORDER BY id_a, id_b
+""",
+)
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → 16 universal-hash minima
+    → 4 LSH bands → bucket join. Bounded-key join, no O(n²)."""
+    return dedup.dedup_minhash_candidates(
+        _docs(spark, sf_dir), "doc_id", "text", n=3
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_DUCK_SHINGLES},
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+sdf AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle),
+rare AS (SELECT sh.id, sh.shingle FROM sh JOIN sdf USING (shingle)
+         WHERE sdf.sdf <= 50),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM rare a JOIN rare b USING (shingle)
+          WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact n-gram Jaccard verification over rare-shingle candidates
+    (df-capped fan-out — the skew guard for all-pairs similarity)."""
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.9
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    from ..operators.dedup import HASH_BITS
+
+    bit_sum = " + ".join(
+        f"(CASE WHEN sum(tf * (((hx >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(HASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_DUCK_TOKS}) AS token FROM documents),
+tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+hx AS (SELECT id, tf, ('0x' || substr(md5(token), 1, 13))::BIGINT AS hx FROM tf)
+SELECT id, ({bit_sum}) AS simhash FROM hx GROUP BY id ORDER BY id LIMIT 100
+"""
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash signatures (52-bit, tf-weighted) — near-dup fingerprint;
+    pure groupBy aggregation with built-in bit ops."""
+    return (
+        dedup.simhash64(_docs(spark, sf_dir), "doc_id", "text")
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+@q("dedup_simhash_pairs", None)
+def dedup_simhash_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole chunk join + hamming verify
+    (rows-only check: the chunk-join candidate generation is set-equal to
+    exhaustive hamming≤3 by the pigeonhole principle, asserted in pytest)."""
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+# =====================================================================
+# Similarity search over embeddings (operators/ann.py)
+# =====================================================================
+
+
+@q(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+         AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+         e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_cosine_topk_q(spark, sf_dir):
+    """Brute-force cosine top-10 (exact ANN baseline): JVM-side
+    zip_with/aggregate dot product, TakeOrderedAndProject — no shuffle."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    out = ann.cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@q("ann_lsh_topk", None)
+def ann_lsh_topk_q(spark, sf_dir):
+    """LSH-bucketed ANN (random hyperplanes, probe hamming≤1, exact
+    re-rank). Rows-only check; recall vs brute force asserted in pytest."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    out = ann.cosine_topk_lsh(emb, qvec, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# =====================================================================
+# Text analysis (operators/textstats.py)
+# =====================================================================
+
+
+@q(
+    "text_token_counts",
+    """
+SELECT sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       x -> x <> '')))::BIGINT AS total_ws,
+       sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+       x -> x <> '')))::BIGINT AS total_word,
+       count(*) AS n_docs
+FROM documents
+""",
+)
+def text_token_counts_q(spark, sf_dir):
+    """Token counting (whitespace + word-regex) aggregated corpus-wide."""
+    tc = textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+    return tc.agg(
+        F.sum("n_tokens_ws").cast("bigint").alias("total_ws"),
+        F.sum("n_tokens_word").cast("bigint").alias("total_word"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q(
+    "text_quality",
+    """
+WITH f AS (
+  SELECT doc_id AS id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x IN ('the','and','of','to','in','is','that','it','for','was')
+             ))::DOUBLE
+           / greatest(len(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')), 1) AS stopword_ratio,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) AS n_tokens
+  FROM documents)
+SELECT id, n_chars, round(alpha_ratio, 6) AS alpha_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       n_tokens::BIGINT AS n_tokens,
+       round(0.5 * alpha_ratio + 0.3 * least(stopword_ratio * 3, 1.0)
+             + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality
+FROM f ORDER BY id LIMIT 100
+""",
+)
+def text_quality_q(spark, sf_dir):
+    """Quality scoring: length/alpha/punct/stopword features + fixed
+    linear blend — all JVM built-in expressions."""
+    out = textstats.quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint")) \
+              .orderBy("id").limit(100)
+
+
+def _langid_oracle() -> str:
+    from ..operators.textstats import LANG_PROFILES
+
+    hit_cols = []
+    for lg, stops in sorted(LANG_PROFILES.items()):
+        inlist = ",".join(f"'{s}'" for s in stops)
+        hit_cols.append(
+            f"len(list_filter(regexp_split_to_array(lower(text),"
+            f" '[^a-z0-9_]+'), x -> x IN ({inlist}))) AS hits_{lg}"
+        )
+    langs = sorted(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN best > 0 AND hits_{lg} = best THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH h AS (SELECT doc_id AS id, {', '.join(hit_cols)} FROM documents),
+b AS (SELECT id, {best} AS best, * FROM h)
+SELECT ({pred}) AS pred_lang, count(*) AS cnt
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("text_langid", _langid_oracle())
+def text_langid_q(spark, sf_dir):
+    """Language-ID (stopword-profile argmax heuristic), aggregated into a
+    distribution (pred_lang, count)."""
+    out = textstats.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+    return out.groupBy("pred_lang").agg(F.count("*").alias("cnt")).orderBy(
+        "pred_lang"
+    )
+
+
+@q(
+    "text_fingerprint",
+    """
+SELECT doc_id AS id,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1)),
+         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 13))::BIGINT
+       )) AS fingerprint
+FROM documents ORDER BY id LIMIT 100
+""",
+)
+def text_fingerprint_q(spark, sf_dir):
+    """Document fingerprinting: min md5-derived hash over all char 8-grams
+    (winnowing-style rolling signature, robust to local edits)."""
+    return (
+        textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text", gram=8)
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+# =====================================================================
+# Multimodal columns: opaque binary + typed metadata (stubbed decode)
+# =====================================================================
+
+
+@q(
+    "mm_binary_features",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       length(text) AS n_chars,
+       'stub' AS decoder
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+)
+def mm_binary_features_q(spark, sf_dir):
+    """Multimodal plumbing: payload as opaque binary column + typed
+    metadata. The real decode (image/audio libs absent in this container)
+    is stubbed behind operators/multimodal.py; the Spark-side schema,
+    batching and UDF signature are real and tested."""
+    from ..operators import multimodal
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    blobs = multimodal.to_binary_payload(d, "doc_id", "text")
+    feats = multimodal.extract_features(blobs)
+    return feats.select("doc_id", "n_bytes", "n_chars", "decoder").orderBy("doc_id")
