@@ -75,11 +75,11 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    probe_hamming: int = 1,
+    probe_hamming: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN variant: probe the query's LSH bucket (± hamming-1 neighbors),
-    exact cosine re-rank inside the probed buckets.
+    """ANN variant: multi-probe the query's LSH bucket (hamming ≤
+    probe_hamming neighbors), exact cosine re-rank inside probed buckets.
 
     At 100 TB the embeddings table is written partitioned by bucket so this
     becomes partition pruning; here it is a pushed-down isin filter.
@@ -94,6 +94,12 @@ def cosine_topk_lsh(
     probes = {qsig}
     if probe_hamming >= 1:
         probes.update(qsig ^ (1 << i) for i in range(n_planes))
+    if probe_hamming >= 2:
+        probes.update(
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        )
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.where(F.col("bucket").isin([int(x) for x in probes]))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

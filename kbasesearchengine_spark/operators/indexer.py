@@ -349,8 +349,13 @@ class IndexBuilder:
         text_col: str = "content",
         doc_id_col: str | None = None,
         resume: bool = True,
+        max_groups: int | None = None,
     ) -> dict:
-        """Build (or resume) the index. Returns final stats dict."""
+        """Build (or resume) the index. Returns final stats dict.
+
+        max_groups: fault-injection knob for resume tests — abort after
+        committing this many segment groups (simulates a mid-build kill).
+        """
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t_all = time.time()
@@ -383,10 +388,14 @@ class IndexBuilder:
             for g in range(0, n_segments, self.segments_per_commit)
         ]
         postings_path = os.path.join(self.index_dir, "postings")
+        built = 0
         for gi, segs in enumerate(groups):
             name = f"group-{gi}"
             if resume and self.has_marker(name):
                 continue
+            if max_groups is not None and built >= max_groups:
+                raise RuntimeError("fault injection: killed mid-build")
+            built += 1
             t0 = time.time()
             lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
             part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))

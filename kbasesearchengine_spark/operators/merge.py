@@ -1,0 +1,102 @@
+"""Segment merge: the Lucene-merge analog for multi-batch index builds.
+
+Incremental adds (NEW_VERSION events) create new doc_id ranges = new
+segments; over time many small segments hurt query fan-out. The merge
+stage rewrites a set of source segments into one target segment per
+group: postings with the same term are concatenated (doc_id ranges are
+disjoint and segment-ordered, so the k-way merge is an ordered concat)
+and re-compressed, block-max metadata rebuilt.
+
+Expressed as groupBy(new_segment, term) + applyInPandas — one shuffle,
+bounded groups (total postings of the merged segments per term).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import tf_norm
+from ..functions.codec import delta_decode, delta_encode, varint_decode, varint_encode
+from .indexer import BLOCK_SIZE, POSTING_SCHEMA
+
+
+def merge_postings(
+    postings: DataFrame, seg_map: Mapping[int, int], avgdl: float
+) -> DataFrame:
+    """Rewrite postings under a segment remapping {old_seg -> new_seg}.
+
+    Segments not in seg_map pass through unchanged (narrow filter); the
+    merged ones shuffle once on (new_segment, term).
+    """
+    spark = postings.sparkSession
+    keep = postings.where(~F.col("segment").isin([int(s) for s in seg_map]))
+    to_merge = postings.where(F.col("segment").isin([int(s) for s in seg_map]))
+    map_expr = F.create_map(
+        *[F.lit(x) for kv in seg_map.items() for x in kv]
+    )
+    remapped = to_merge.withColumn("new_segment", map_expr[F.col("segment")])
+
+    bc = spark.sparkContext.broadcast(avgdl)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        avgdl_ = bc.value
+        new_seg = int(pdf["new_segment"].iloc[0])
+        term = pdf["term"].iloc[0]
+        pdf = pdf.sort_values("segment")  # doc ranges are segment-ordered
+        ids = np.concatenate(
+            [delta_decode(bytes(b)) for b in pdf["doc_ids"]]
+        ).astype(np.uint64)
+        tfs = np.concatenate([varint_decode(bytes(b)) for b in pdf["tfs"]])
+        dls = np.concatenate([varint_decode(bytes(b)) for b in pdf["dls"]])
+        assert np.all(np.diff(ids.astype(np.int64)) > 0), "overlapping segments"
+        n = len(ids)
+        tfn = tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl_)
+        nb = math.ceil(n / BLOCK_SIZE)
+        bl = [int(ids[min((i + 1) * BLOCK_SIZE, n) - 1]) for i in range(nb)]
+        bm = [
+            float(np.max(tfn[i * BLOCK_SIZE: min((i + 1) * BLOCK_SIZE, n)]))
+            for i in range(nb)
+        ]
+        return pd.DataFrame(
+            {
+                "segment": [new_seg],
+                "term": [term],
+                "df": [n],
+                "doc_ids": [delta_encode(ids)],
+                "tfs": [varint_encode(tfs)],
+                "dls": [varint_encode(dls)],
+                "block_last": [bl],
+                "block_max": [bm],
+            }
+        )
+
+    merged = remapped.groupBy("new_segment", "term").applyInPandas(
+        merge_group, schema=POSTING_SCHEMA
+    )
+    return keep.unionByName(merged)
+
+
+def plan_merges(
+    segment_sizes: Mapping[int, int], target_size: int
+) -> dict[int, int]:
+    """Greedy merge policy: pack undersized segments (ascending id) into
+    target-size bins. Returns {old_seg -> new_seg (the bin's first seg)}."""
+    seg_map: dict[int, int] = {}
+    current, acc = None, 0
+    for seg in sorted(segment_sizes):
+        size = segment_sizes[seg]
+        if size >= target_size:
+            continue
+        if current is None or acc + size > target_size:
+            current, acc = seg, 0
+        if current != seg:
+            seg_map[seg] = current
+        seg_map.setdefault(current, current)
+        acc += size
+    return seg_map

@@ -1,0 +1,152 @@
+"""Event replay: the reference's coordinator/worker/queue pipeline
+(events/EventQueue.java, main/IndexerCoordinator.java, IndexerWorker.java)
+collapsed into declarative DataFrame semantics.
+
+Reference semantics preserved (SURVEY §2.11):
+ - dedup by event_id        (EventQueue.java:86-99)
+ - per-object timestamp order (ObjectEventQueue.java:42-49) — resolved by a
+   window, not a blocking queue
+ - NEW_VERSION / DELETE / RENAME ops (StatusEventType.java:3-19, reduced to
+   the code-corpus set per FIXTURES.md §5)
+ - islast visibility: queries see only the latest surviving version
+   (ElasticIndexingStorage.java:588-622; soft-delete tombstones per M8)
+ - idempotence: replaying the same batch twice is a no-op
+
+Batch is the core; ``run_stream`` wraps the same logic in Structured
+Streaming via foreachBatch (micro-batch = the coordinator tick analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# event payload schema (FIXTURES.md §5)
+EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, op string, repo string, path string, "
+    "commit string, lang string, content string"
+)
+
+DOC_KEY = ["repo", "path"]
+
+
+def events_to_version_rows(events: DataFrame) -> DataFrame:
+    """Expand events into versioned doc rows (E5 expansion analog).
+
+    NEW_VERSION -> live row; DELETE -> tombstone; RENAME -> tombstone at
+    the old path + live row at the new path (new path in `content`-carrying
+    columns; the rename payload reuses commit/lang/content).
+    Dedup by event_id first (idempotent replay).
+    """
+    ev = events.dropDuplicates(["event_id"])
+    new_v = ev.where(F.col("op") == "NEW_VERSION").select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("ts"), F.lit(False).alias("tombstone"), F.col("event_id"),
+    )
+    delete = ev.where(F.col("op") == "DELETE").select(
+        "repo", "path",
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.col("ts"), F.lit(True).alias("tombstone"), F.col("event_id"),
+    )
+    # RENAME: `commit` column carries the new path for rename events
+    ren = ev.where(F.col("op") == "RENAME")
+    ren_old = ren.select(
+        "repo", "path",
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.col("ts"), F.lit(True).alias("tombstone"), F.col("event_id"),
+    )
+    ren_new = ren.select(
+        "repo", F.col("commit").alias("path"),  # new path
+        F.lit(None).cast("string").alias("commit"),
+        "lang", "content",
+        F.col("ts"), F.lit(False).alias("tombstone"), F.col("event_id"),
+    )
+    return new_v.unionByName(delete).unionByName(ren_old).unionByName(ren_new)
+
+
+def apply_events(state: DataFrame, events: DataFrame) -> DataFrame:
+    """Apply an event batch to the versioned doc state (append-only log).
+
+    state: rows (repo, path, commit, lang, content, ts, tombstone, event_id)
+    New state = old state ∪ new version rows, minus exact event duplicates
+    (replay idempotence via event_id anti-join — the Mongo status-store
+    dedup analog)."""
+    rows = events_to_version_rows(events)
+    fresh = rows.join(
+        state.select("event_id").where(F.col("event_id").isNotNull()).distinct(),
+        "event_id",
+        "left_anti",
+    )
+    return state.unionByName(fresh)
+
+
+def empty_state(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "repo string, path string, commit string, lang string, "
+        "content string, ts bigint, tombstone boolean, event_id bigint",
+    )
+
+
+def initial_state(corpus: DataFrame, ts: int = 0) -> DataFrame:
+    return corpus.select(
+        "repo", "path", "commit", "lang", "content",
+        F.lit(ts).cast("bigint").alias("ts"),
+        F.lit(False).alias("tombstone"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+
+
+def visible_docs(state: DataFrame) -> DataFrame:
+    """islast view: per (repo, path), the latest row by (ts, event_id)
+    wins; tombstoned keys disappear (G4/M1/M8 semantics)."""
+    w = Window.partitionBy(*DOC_KEY).orderBy(
+        F.desc("ts"), F.desc_nulls_last("event_id")
+    )
+    return (
+        state.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (~F.col("tombstone")))
+        .drop("_rn", "tombstone", "event_id")
+    )
+
+
+def run_stream(
+    spark,
+    events_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    initial: DataFrame | None = None,
+):
+    """Structured Streaming wrapper: watch a directory of event parquet
+    files; each micro-batch appends version rows to the state table
+    (exactly-once via checkpoint + idempotent event_id dedup).
+
+    Returns the StreamingQuery; caller drives it (processAllAvailable in
+    tests — the coordinator-tick analog)."""
+    if initial is not None:
+        initial.write.mode("overwrite").parquet(state_path)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state = batch_df.sparkSession.read.parquet(state_path)
+        # append only the fresh rows (state is an append-only log)
+        fresh = events_to_version_rows(batch_df).join(
+            state.select("event_id").where(F.col("event_id").isNotNull()).distinct(),
+            "event_id",
+            "left_anti",
+        )
+        fresh.write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
