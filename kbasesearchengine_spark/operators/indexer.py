@@ -61,14 +61,15 @@ POSTING_SCHEMA = (
 
 def assign_doc_ids(
     df: DataFrame, key_cols: list[str], num_partitions: int | None = None
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Dense doc_id = rank of row under ORDER BY key_cols (unique keys).
 
     Partition-count-invariant (FIXTURES.md §1): the id is the global sort
     rank, which does not depend on where range-partition boundaries fall,
     so local[8] and local[32] assign identical ids. Two Arrow-only passes
     over a persisted range-sorted frame — no driver collect of data rows,
-    no per-row Python.
+    no per-row Python. Returns (df_with_doc_id, n_rows) — the count falls
+    out of the offset pass for free.
     """
     spark = df.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
@@ -106,7 +107,7 @@ def assign_doc_ids(
             yield out
 
     result = sorted_df.mapInPandas(assign, schema=out_schema)
-    return result
+    return result, acc
 
 
 # ---------------------------------------------------------------- docs/stats
@@ -127,10 +128,10 @@ def build_docs(
     Returns (docs, n_docs). The segment is a contiguous doc_id range bucket.
     """
     if doc_id_col is None:
-        with_ids = assign_doc_ids(corpus, key_cols, id_partitions)
+        with_ids, n_docs = assign_doc_ids(corpus, key_cols, id_partitions)
     else:
         with_ids = corpus.withColumn("doc_id", F.col(doc_id_col).cast("bigint"))
-    n_docs = with_ids.count()
+        n_docs = with_ids.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
     docs = (
         with_ids.withColumn("sha256", F.sha2(F.col(text_col), 256))
@@ -159,32 +160,31 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
 
     def explode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, segs, dls, terms, tfs = [], [], [], [], []
-            for did, seg, dl, text in zip(
-                pdf["doc_id"].to_numpy(),
-                pdf["segment"].to_numpy(),
-                pdf["dl"].to_numpy(),
-                pdf["_text"],
-            ):
-                toks = tokenize_py(text)
-                if not toks:
-                    continue
-                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                k = len(uniq)
-                doc_ids.append(np.full(k, did, dtype=np.int64))
-                segs.append(np.full(k, seg, dtype=np.int32))
-                dls.append(np.full(k, dl, dtype=np.int32))
-                terms.append(uniq)
-                tfs.append(counts.astype(np.int32))
-            if not doc_ids:
+            toks_list = [tokenize_py(t) for t in pdf["_text"]]
+            lens = np.fromiter(
+                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
+            )
+            if lens.sum() == 0:
                 continue
+            ridx = np.repeat(np.arange(len(toks_list)), lens)
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_list if t]
+            )
+            # one hash-groupby over the whole Arrow batch (C-speed), not
+            # a per-row unique
+            g = (
+                pd.DataFrame({"r": ridx, "term": flat})
+                .groupby(["r", "term"], sort=False)
+                .size()
+            )
+            rr = g.index.get_level_values(0).to_numpy()
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(doc_ids),
-                    "segment": np.concatenate(segs),
-                    "term": np.concatenate(terms),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
+                    "doc_id": pdf["doc_id"].to_numpy()[rr],
+                    "segment": pdf["segment"].to_numpy()[rr].astype(np.int32),
+                    "term": g.index.get_level_values(1).to_numpy(),
+                    "tf": g.to_numpy().astype(np.int32),
+                    "dl": pdf["dl"].to_numpy()[rr].astype(np.int32),
                 }
             )
 

@@ -76,6 +76,7 @@ def _segment_topk_kernel(
     k: int,
     mode: str,
     allowed: np.ndarray | None = None,
+    use_wand: bool = True,
 ) -> pd.DataFrame:
     """Score one segment's postings for the query terms. Vectorized numpy.
 
@@ -88,6 +89,16 @@ def _segment_topk_kernel(
                           "score": pd.Series([], dtype="float64")})
     if mode == "and" and len(set(terms)) < n_terms:
         return empty  # some query term absent from this segment
+    if (
+        mode == "or"
+        and use_wand
+        and k is not None
+        and allowed is None
+        and "block_last" in pdf.columns
+    ):
+        from .wand import wand_topk_segment
+
+        return wand_topk_segment(pdf, idfs, avgdl, k)
     decoded = {}
     for _, row in pdf.iterrows():
         decoded[row["term"]] = (
