@@ -1,0 +1,167 @@
+"""search_objects / search_types / get_objects facade.
+
+Mirrors the reference's API semantics (KBaseSearchEngine.spec:167-174 and
+main/SearchMethods.java:242-308) re-shaped for the code corpus:
+
+  MatchFilter   full_text_in_all (P4), lookup_in_keys term/terms/range
+                (P1-P3), exclude (must_not, P11)
+  AccessFilter  collapses to plain metadata predicates for the code corpus
+                (SURVEY §2.3) — non-scoring filter context
+  SortingRule   multi-key sort, asc default (O1; SortingRule.java:15-63)
+  Pagination    start/count, defaults 0/50 (O3; ElasticIndexingStorage.
+                java:1495-1497)
+  PostProcessing ids_only / include content / highlight (T13; _source
+                pruning P10)
+
+Defaults pinned by the reference: no sort given => timestamp-analog
+ascending (doc_id asc here — NOT relevance; ElasticIndexingStorage.
+java:1498-1501); relevance order only when requested via
+SortingRule(key='relevance').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.topk import InvertedIndex, topk
+
+
+@dataclass
+class MatchFilter:
+    full_text: str | None = None
+    full_text_mode: str = "and"  # reference uses operator:"and"
+    term_eq: dict[str, object] = field(default_factory=dict)  # P1
+    term_in: dict[str, list] = field(default_factory=dict)  # P2
+    term_not_in: dict[str, list] = field(default_factory=dict)  # P11
+    ranges: dict[str, tuple] = field(default_factory=dict)  # P3 (lo, hi), either None
+
+
+@dataclass
+class SortingRule:
+    key: str  # column name or 'relevance'
+    ascending: bool = True  # asc default (SortingRule.java:21)
+
+
+@dataclass
+class Pagination:
+    start: int = 0
+    count: int = 50
+
+
+@dataclass
+class PostProcessing:
+    ids_only: bool = False
+    include_content: bool = True
+    highlight: bool = False
+
+
+def _predicate(mf: MatchFilter) -> Column | None:
+    preds: list[Column] = []
+    for k, v in mf.term_eq.items():
+        preds.append(F.col(k) == F.lit(v))
+    for k, vs in mf.term_in.items():
+        preds.append(F.col(k).isin(vs))
+    for k, vs in mf.term_not_in.items():
+        preds.append(~F.col(k).isin(vs))
+    for k, (lo, hi) in mf.ranges.items():
+        if lo is not None and hi is not None:
+            preds.append(F.col(k).between(lo, hi))  # ends inclusive (P3)
+        elif lo is not None:
+            preds.append(F.col(k) >= lo)
+        elif hi is not None:
+            preds.append(F.col(k) <= hi)
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def search_objects(
+    index: InvertedIndex,
+    match: MatchFilter,
+    sorting: list[SortingRule] | None = None,
+    pagination: Pagination | None = None,
+    post: PostProcessing | None = None,
+) -> DataFrame:
+    """The main read path (SearchMethods.searchObjects → queryHits)."""
+    pagination = pagination or Pagination()
+    post = post or PostProcessing()
+    pred = _predicate(match)
+
+    relevance = bool(sorting) and sorting[0].key == "relevance"
+
+    if match.full_text:
+        need = pagination.start + pagination.count
+        scored = topk(
+            index,
+            match.full_text,
+            k=need if relevance else None,
+            mode=match.full_text_mode,
+            doc_filter=pred,
+            hydrate=False,
+        )
+        docs = index.docs.join(scored, "doc_id")
+    else:
+        docs = index.docs.withColumn("score", F.lit(0.0))
+        if pred is not None:
+            docs = docs.where(pred)
+
+    if relevance:
+        order = [F.desc("score"), F.asc("doc_id")]
+        order += [
+            (F.asc(s.key) if s.ascending else F.desc(s.key)) for s in sorting[1:]
+        ]
+    elif sorting:
+        order = [(F.asc(s.key) if s.ascending else F.desc(s.key)) for s in sorting]
+        order.append(F.asc("doc_id"))  # deterministic ties (O5)
+    else:
+        order = [F.asc("doc_id")]  # default: NOT relevance (O2 analog)
+
+    page = docs.orderBy(*order).offset(pagination.start).limit(pagination.count)
+
+    if post.ids_only:
+        return page.select("doc_id")  # _source: [guid] analog (P10)
+    if post.highlight and match.full_text:
+        terms = sorted(set(match.full_text.lower().split()))
+        hl = F.col("text") if "text" in page.columns else F.col("content")
+        for t in terms:
+            hl = F.regexp_replace(
+                hl, f"(?i)\\b({t})\\b", "<em>$1</em>"
+            )
+        page = page.withColumn("highlight", hl)
+    if not post.include_content:
+        drop = [c for c in ("text", "content") if c in page.columns]
+        page = page.drop(*drop)
+    return page
+
+
+def search_types(
+    index: InvertedIndex,
+    match: MatchFilter,
+    type_col: str = "lang",
+) -> DataFrame:
+    """Count matching docs per type, size 0 (G1)."""
+    pred = _predicate(match)
+    if match.full_text:
+        scored = topk(
+            index, match.full_text, k=None, mode=match.full_text_mode,
+            doc_filter=pred, hydrate=False,
+        )
+        docs = index.docs.join(scored.select("doc_id"), "doc_id", "left_semi")
+    else:
+        docs = index.docs
+        if pred is not None:
+            docs = docs.where(pred)
+    return docs.groupBy(F.col(type_col).alias("type")).agg(
+        F.count("*").alias("count")
+    )
+
+
+def get_objects(index: InvertedIndex, doc_ids: list[int]) -> DataFrame:
+    """GUID-list lookup (J2)."""
+    return index.docs.where(F.col("doc_id").isin([int(i) for i in doc_ids]))

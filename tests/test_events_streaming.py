@@ -1,0 +1,93 @@
+"""Event replay semantics (FIXTURES.md §5): islast visibility, per-doc
+timestamp order, idempotent replay, RENAME/DELETE, and the Structured
+Streaming wrapper."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbasesearchengine_spark.streaming import events as ev
+
+BASE = [
+    ("r1", "a.py", "c0", "python", "alpha beta"),
+    ("r1", "b.py", "c0", "python", "gamma delta"),
+    ("r2", "x.go", "c0", "go", "epsilon zeta"),
+]
+
+EVENTS = [
+    # (event_id, ts, op, repo, path, commit, lang, content)
+    (1, 10, "NEW_VERSION", "r1", "a.py", "c1", "python", "alpha beta v2"),
+    (2, 20, "NEW_VERSION", "r1", "a.py", "c2", "python", "alpha beta v3"),
+    # out-of-order arrival for same doc: ts=15 arrives after ts=20 —
+    # the ts order must win (queue-ordering analog)
+    (3, 15, "NEW_VERSION", "r1", "a.py", "c15", "python", "alpha beta v2.5"),
+    (4, 30, "DELETE", "r1", "b.py", None, None, None),
+    # RENAME: commit column carries the new path
+    (5, 40, "RENAME", "r2", "x.go", "y.go", "go", "epsilon zeta"),
+]
+
+
+@pytest.fixture()
+def state0(spark):
+    corpus = spark.createDataFrame(
+        BASE, "repo string, path string, commit string, lang string, content string"
+    )
+    return ev.initial_state(corpus)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, ev.EVENT_SCHEMA)
+
+
+def test_replay_islast_and_ops(spark, state0):
+    state = ev.apply_events(state0, _events_df(spark, EVENTS))
+    vis = {(r["repo"], r["path"]): r for r in ev.visible_docs(state).collect()}
+    # latest version by ts wins (event 2, ts=20), not the later-arriving ts=15
+    assert vis[("r1", "a.py")]["content"] == "alpha beta v3"
+    # deleted doc disappears
+    assert ("r1", "b.py") not in vis
+    # renamed: old path gone, new path present with same content
+    assert ("r2", "x.go") not in vis
+    assert vis[("r2", "y.go")]["content"] == "epsilon zeta"
+    assert len(vis) == 2
+
+
+def test_replay_idempotent(spark, state0):
+    once = ev.apply_events(state0, _events_df(spark, EVENTS))
+    twice = ev.apply_events(once, _events_df(spark, EVENTS))
+    assert once.count() == twice.count()  # replaying the batch is a no-op
+    a = sorted(map(tuple, ev.visible_docs(once).collect()))
+    b = sorted(map(tuple, ev.visible_docs(twice).collect()))
+    assert a == b
+
+
+def test_duplicate_event_ids_dropped(spark, state0):
+    dup_batch = EVENTS + [EVENTS[0]]  # same event_id repeated in one batch
+    state = ev.apply_events(state0, _events_df(spark, dup_batch))
+    n = state.where(F.col("event_id") == 1).count()
+    assert n == 1
+
+
+def test_structured_streaming_path(spark, state0, tmp_path):
+    events_dir = str(tmp_path / "events_in")
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(events_dir)
+    _events_df(spark, EVENTS[:3]).coalesce(1).write.mode("append").parquet(events_dir)
+
+    q = ev.run_stream(spark, events_dir, state_path, ckpt, initial=state0)
+    q.awaitTermination(60)
+
+    # second batch arrives: restart the availableNow stream (micro-batch tick)
+    _events_df(spark, EVENTS[3:]).coalesce(1).write.mode("append").parquet(events_dir)
+    q2 = ev.run_stream(spark, events_dir, state_path, ckpt)
+    q2.awaitTermination(60)
+
+    vis = {
+        (r["repo"], r["path"]): r
+        for r in ev.visible_docs(spark.read.parquet(state_path)).collect()
+    }
+    assert vis[("r1", "a.py")]["content"] == "alpha beta v3"
+    assert ("r1", "b.py") not in vis
+    assert vis[("r2", "y.go")]["content"] == "epsilon zeta"

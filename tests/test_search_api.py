@@ -1,0 +1,124 @@
+"""search_objects/search_types/get_objects facade semantics
+(reference: SearchMethods.java:242-308, queryHits defaults)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbasesearchengine_spark.corpus import generate_corpus
+from kbasesearchengine_spark.operators.indexer import IndexBuilder
+from kbasesearchengine_spark.operators.topk import InvertedIndex
+from kbasesearchengine_spark.plans.search import (
+    MatchFilter,
+    Pagination,
+    PostProcessing,
+    SortingRule,
+    get_objects,
+    search_objects,
+    search_types,
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("apiidx"))
+    corpus = generate_corpus(spark, 500, parallelism=8)
+    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    return InvertedIndex(spark, idx_dir)
+
+
+def test_default_sort_is_not_relevance(index):
+    """No sort given => deterministic id order, not score (O2 analog:
+    ElasticIndexingStorage.java:1498-1501)."""
+    res = search_objects(index, MatchFilter(full_text="license")).collect()
+    ids = [r["doc_id"] for r in res]
+    assert ids == sorted(ids)
+    assert len(res) == 50  # default page size (1495-1497)
+
+
+def test_relevance_sort_and_pagination(index):
+    p1 = search_objects(
+        index,
+        MatchFilter(full_text="license import"),
+        sorting=[SortingRule("relevance")],
+        pagination=Pagination(0, 5),
+    ).collect()
+    p2 = search_objects(
+        index,
+        MatchFilter(full_text="license import"),
+        sorting=[SortingRule("relevance")],
+        pagination=Pagination(5, 5),
+    ).collect()
+    s1 = [r["score"] for r in p1]
+    s2 = [r["score"] for r in p2]
+    assert s1 == sorted(s1, reverse=True)
+    assert len(set(r["doc_id"] for r in p1) & set(r["doc_id"] for r in p2)) == 0
+    assert min(s1) >= max(s2)
+
+
+def test_filters_compose_and(index):
+    mf = MatchFilter(
+        full_text="license",
+        term_in={"lang": ["python", "go"]},
+        ranges={"dl": (100, 800)},
+    )
+    res = search_objects(index, mf, pagination=Pagination(0, 100)).collect()
+    assert res
+    for r in res:
+        assert r["lang"] in ("python", "go")
+        assert 100 <= r["dl"] <= 800
+
+
+def test_conflicting_range_returns_zero(index):
+    """Conflicting ranges intersect to empty (testLookupInKey analog,
+    ElasticIndexingStorageTest.java:1469-1475)."""
+    mf = MatchFilter(full_text="license", ranges={"dl": (500, 100)})
+    assert search_objects(index, mf).count() == 0
+
+
+def test_ids_only_projection(index):
+    res = search_objects(
+        index, MatchFilter(full_text="license"),
+        post=PostProcessing(ids_only=True),
+    )
+    assert res.columns == ["doc_id"]
+
+
+def test_highlight(index):
+    res = search_objects(
+        index,
+        MatchFilter(full_text="rfah"),
+        sorting=[SortingRule("relevance")],
+        pagination=Pagination(0, 5),
+        post=PostProcessing(highlight=True),
+    ).collect()
+    assert res
+    assert all("<em>rfah</em>" in r["highlight"] for r in res)
+
+
+def test_search_types_counts(index):
+    res = {r["type"]: r["count"] for r in
+           search_types(index, MatchFilter(full_text="license")).collect()}
+    # compare against direct computation
+    docs = index.docs
+    from kbasesearchengine_spark.operators.topk import topk
+
+    matched = topk(index, "license", k=None, hydrate=False).select("doc_id")
+    exp = {
+        r["lang"]: r["cnt"]
+        for r in docs.join(matched, "doc_id", "left_semi")
+        .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert res == exp
+
+
+def test_get_objects(index):
+    res = get_objects(index, [1, 5, 9]).collect()
+    assert sorted(r["doc_id"] for r in res) == [1, 5, 9]
+
+
+def test_empty_query_match_all(index):
+    """No filters at all => match_all (P6)."""
+    n = search_objects(index, MatchFilter(), pagination=Pagination(0, 1000)).count()
+    assert n == 500
