@@ -19,26 +19,34 @@ _SEVEN = _U64(7)
 _MASK7 = _U64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (uint64 range)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # number of 7-bit groups per value (1..10)
+def varint_sizes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (1..10)."""
     nbytes = np.ones(v.shape, dtype=np.int64)
     for j in range(1, 10):
         nbytes += (v >= (_U64(1) << _U64(7 * j))).astype(np.int64)
+    return nbytes
+
+
+def _varint_into(v: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    maxb = int(nbytes.max())
+    out = np.zeros(int(ends[-1]) if len(ends) else 0, dtype=np.uint8)
+    maxb = int(nbytes.max()) if len(nbytes) else 0
     for j in range(maxb):
         mask = nbytes > j
         pos = starts[mask] + j
         byte = ((v[mask] >> _U64(7 * j)) & _MASK7).astype(np.uint8)
         cont = (nbytes[mask] > (j + 1)).astype(np.uint8) << 7
         out[pos] = byte | cont
-    return out.tobytes()
+    return out
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (uint64 range)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return _varint_into(v, varint_sizes(v)).tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -74,3 +82,60 @@ def delta_decode(buf: bytes) -> np.ndarray:
     if d.size == 0:
         return d
     return np.cumsum(d, dtype=np.uint64)
+
+
+def encode_grouped(
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    tfn: np.ndarray,
+    block_size: int = 128,
+) -> dict:
+    """Batch-encode MANY posting groups in three varint passes total.
+
+    doc/tf/dl: concatenated per-group arrays (uint64), sorted by doc within
+    each group; starts/ends: group boundaries; tfn: per-entry tf_norm (for
+    block maxima). Returns dict of per-group lists:
+      doc_ids, tfs, dls (bytes), block_last, block_max (lists).
+
+    The per-group Python work is reduced to buffer slicing — all arithmetic
+    (delta, byte sizing, byte scatter, block reductions) is whole-array.
+    """
+    n = len(doc)
+    n_groups = len(starts)
+    lens = ends - starts
+    gidx = np.repeat(np.arange(n_groups), lens)
+
+    # delta-encode doc ids with per-group reset
+    d = doc.copy()
+    d[1:] = doc[1:] - doc[:-1]
+    d[starts] = doc[starts]
+
+    out: dict = {}
+    for name, arr in (("doc_ids", d), ("tfs", tf), ("dls", dl)):
+        sizes = varint_sizes(arr)
+        buf = _varint_into(arr, sizes).tobytes()
+        boff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=boff[1:])
+        out[name] = [
+            buf[boff[s]:boff[e]] for s, e in zip(starts, ends)
+        ]
+
+    # block metadata: block starts at every (within-group pos % B == 0)
+    within = np.arange(n, dtype=np.int64) - starts[gidx]
+    bstarts = np.flatnonzero(within % block_size == 0)
+    bends = np.append(bstarts[1:], n) - 1
+    bmax = np.maximum.reduceat(tfn, bstarts) if n else np.empty(0)
+    blast = doc[bends].astype(np.int64) if n else np.empty(0, dtype=np.int64)
+    blocks_per_group = (lens + block_size - 1) // block_size
+    goff = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(blocks_per_group, out=goff[1:])
+    out["block_last"] = [
+        blast[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
+    ]
+    out["block_max"] = [
+        bmax[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
+    ]
+    return out

@@ -1,0 +1,134 @@
+"""Declarative extraction rules: the type-spec system re-expressed.
+
+The reference drives indexing from versioned YAML specs of IndexingRules
+(system/ObjectTypeParsingRulesFileParser.java:39-123; transform dispatch
+parse/KeywordParser.java:215-329). Here a rule list compiles to a
+withColumn chain — Catalyst expressions only, no UDFs:
+
+  T1 string cast        KeywordParser.java:250-251
+  T2 integer cast       KeywordParser.java:252-253
+  T3 values flatten     KeywordParser.java:227-249
+  T4 location destructure (contig/start/stop/length/strand arithmetic)
+                        KeywordParser.java:331-371
+  T7 optional default   KeywordParser.java:181-187
+  T8 derived keys (source-key DAG, cycle detection)
+                        KeywordParser.java:83-166 (cycle error :140-143)
+  T9 not-indexed        IndexingRules.java:77-82
+  G2 {size} path element SubObjectExtractor.java:86-100
+
+Rules reference source columns or JSON paths into a payload column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Rule:
+    name: str                      # output column (the "key")
+    path: str | None = None        # source column, or $.json.path into json_col
+    source_key: str | None = None  # T8: consume another rule's output
+    transform: str = "string"      # string|integer|double|boolean|values|size|location.<part>
+    default: object = None         # T7 optional-default-value
+    not_indexed: bool = False      # T9: kept on docs, excluded from postings
+
+
+class RuleCycleError(ValueError):
+    pass
+
+
+def _toposort(rules: list[Rule]) -> list[Rule]:
+    """Derived-key evaluation order with cycle detection (T8; the
+    reference uses a stack-based walk erroring on cycles)."""
+    by_name = {r.name: r for r in rules}
+    order: list[Rule] = []
+    state: dict[str, int] = {}  # 0=unseen 1=in-progress 2=done
+
+    def visit(r: Rule, chain: tuple[str, ...]) -> None:
+        st = state.get(r.name, 0)
+        if st == 2:
+            return
+        if st == 1:
+            raise RuleCycleError(
+                f"derived-key cycle: {' -> '.join(chain + (r.name,))}"
+            )
+        state[r.name] = 1
+        if r.source_key is not None:
+            dep = by_name.get(r.source_key)
+            if dep is not None:
+                visit(dep, chain + (r.name,))
+        state[r.name] = 2
+        order.append(r)
+
+    for r in rules:
+        visit(r, ())
+    return order
+
+
+def _source_expr(r: Rule, json_col: str | None) -> Column:
+    if r.source_key is not None:
+        return F.col(r.source_key)
+    assert r.path is not None, f"rule {r.name}: needs path or source_key"
+    if r.path.startswith("$.") or r.path.startswith("$["):
+        assert json_col, f"rule {r.name}: JSON path needs json_col"
+        return F.get_json_object(F.col(json_col), r.path)
+    return F.col(r.path)
+
+
+def _apply_transform(col: Column, r: Rule) -> Column:
+    t = r.transform
+    if t == "string":
+        return col.cast("string")
+    if t == "integer":
+        return col.cast("bigint")
+    if t == "double":
+        return col.cast("double")
+    if t == "boolean":
+        return col.cast("boolean")
+    if t == "values":  # flatten nested arrays / map values to scalars
+        return F.flatten(col)
+    if t == "size":  # G2 {size}: cardinality instead of contents
+        return F.size(col).cast("bigint")
+    if t.startswith("location."):
+        # tuple [contig_id, start, strand, length]; strand-dependent
+        # arithmetic per KeywordParser.java:344-359
+        part = t.split(".", 1)[1]
+        contig = F.element_at(col, 1)
+        start = F.element_at(col, 2).cast("bigint")
+        strand = F.element_at(col, 3).cast("string")
+        length = F.element_at(col, 4).cast("bigint")
+        fwd = strand == "+"
+        if part == "contig_id":
+            return contig.cast("string")
+        if part == "start":
+            return F.when(fwd, start).otherwise(start - length + 1)
+        if part == "stop":
+            return F.when(fwd, start + length - 1).otherwise(start)
+        if part == "length":
+            return length
+        if part == "strand":
+            return strand
+        raise ValueError(f"unknown location part {part!r}")
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def apply_rules(
+    df: DataFrame, rules: list[Rule], json_col: str | None = None
+) -> DataFrame:
+    """Compile a rule list into a withColumn chain (topo order)."""
+    out = df
+    for r in _toposort(rules):
+        col = _apply_transform(_source_expr(r, json_col), r)
+        if r.default is not None:
+            col = F.coalesce(col, F.lit(r.default))
+        out = out.withColumn(r.name, col)
+    return out
+
+
+def indexed_columns(rules: list[Rule]) -> list[str]:
+    """Columns that participate in posting build (T9 exclusion)."""
+    return [r.name for r in rules if not r.not_indexed]

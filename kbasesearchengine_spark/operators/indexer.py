@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import tf_norm
-from ..functions.codec import delta_encode, varint_encode
+from ..functions.codec import encode_grouped
 from ..functions.tokenize import tokenize_py, token_count_udf
 
 BLOCK_SIZE = 128  # postings per block-max block
@@ -170,20 +170,20 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
             flat = np.concatenate(
                 [np.asarray(t, dtype=object) for t in toks_list if t]
             )
-            # one hash-groupby over the whole Arrow batch (C-speed), not
-            # a per-row unique
-            g = (
-                pd.DataFrame({"r": ridx, "term": flat})
-                .groupby(["r", "term"], sort=False)
-                .size()
-            )
-            rr = g.index.get_level_values(0).to_numpy()
+            # integer-key tf aggregation: factorize terms once, then one
+            # np.unique over composite (row, term) int64 keys — no object
+            # hashing in the group step
+            codes, uniq_terms = pd.factorize(flat, sort=False)
+            key = ridx * np.int64(len(uniq_terms)) + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            rr = (ukey // len(uniq_terms)).astype(np.int64)
+            tcode = (ukey % len(uniq_terms)).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy()[rr],
                     "segment": pdf["segment"].to_numpy()[rr].astype(np.int32),
-                    "term": g.index.get_level_values(1).to_numpy(),
-                    "tf": g.to_numpy().astype(np.int32),
+                    "term": np.asarray(uniq_terms, dtype=object)[tcode],
+                    "tf": counts.astype(np.int32),
                     "dl": pdf["dl"].to_numpy()[rr].astype(np.int32),
                 }
             )
@@ -199,14 +199,10 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
 def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     """Encode one sorted run of token rows into posting rows.
 
-    pdf is sorted by (segment, term, doc_id). Group boundaries are found
-    vectorized; per-group work is numpy slicing + the vectorized codec.
+    pdf is sorted by (segment, term, doc_id). All arithmetic (group
+    boundaries, delta, varint byte scatter, block maxima) is whole-array;
+    per-group Python is reduced to buffer slicing (codec.encode_grouped).
     """
-    seg = pdf["segment"].to_numpy()
-    term = pdf["term"].to_numpy()
-    doc = pdf["doc_id"].to_numpy().astype(np.uint64)
-    tf = pdf["tf"].to_numpy().astype(np.uint64)
-    dl = pdf["dl"].to_numpy().astype(np.uint64)
     n = len(pdf)
     if n == 0:
         return pd.DataFrame(
@@ -215,32 +211,30 @@ def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
                 "block_last", "block_max",
             ]
         )
+    seg = pdf["segment"].to_numpy()
+    term = pdf["term"].to_numpy()
+    doc = pdf["doc_id"].to_numpy().astype(np.uint64)
+    tf = pdf["tf"].to_numpy().astype(np.uint64)
+    dl = pdf["dl"].to_numpy().astype(np.uint64)
     new_group = np.ones(n, dtype=bool)
     new_group[1:] = (seg[1:] != seg[:-1]) | (term[1:] != term[:-1])
     starts = np.flatnonzero(new_group)
     ends = np.append(starts[1:], n)
 
     tfn = tf_norm(tf.astype(np.float64), dl.astype(np.float64), avgdl)
-
-    out = {k: [] for k in (
-        "segment", "term", "df", "doc_ids", "tfs", "dls", "block_last", "block_max")}
-    for s, e in zip(starts, ends):
-        d = doc[s:e]
-        out["segment"].append(int(seg[s]))
-        out["term"].append(term[s])
-        out["df"].append(int(e - s))
-        out["doc_ids"].append(delta_encode(d))
-        out["tfs"].append(varint_encode(tf[s:e]))
-        out["dls"].append(varint_encode(dl[s:e]))
-        nb = math.ceil((e - s) / BLOCK_SIZE)
-        bl, bm = [], []
-        for bi in range(nb):
-            b0, b1 = s + bi * BLOCK_SIZE, min(s + (bi + 1) * BLOCK_SIZE, e)
-            bl.append(int(doc[b1 - 1]))
-            bm.append(float(np.max(tfn[b0:b1])))
-        out["block_last"].append(bl)
-        out["block_max"].append(bm)
-    return pd.DataFrame(out)
+    enc = encode_grouped(doc, tf, dl, starts, ends, tfn, BLOCK_SIZE)
+    return pd.DataFrame(
+        {
+            "segment": seg[starts].astype(np.int32),
+            "term": term[starts],
+            "df": (ends - starts).astype(np.int32),
+            "doc_ids": enc["doc_ids"],
+            "tfs": enc["tfs"],
+            "dls": enc["dls"],
+            "block_last": enc["block_last"],
+            "block_max": enc["block_max"],
+        }
+    )
 
 
 def build_postings(

@@ -1,0 +1,74 @@
+"""Corpus source + index catalog operations.
+
+The reference's storage surface (SURVEY §2.1): the corpus scan (S1/S2),
+index DDL (S5), and catalog ops — listIndeces / deleteIndex / refresh
+(S6, ElasticIndexingStorage.java:1603-1618,197-205) — mapped onto table
+directories. The production target is Iceberg (`spark.read.format(
+"iceberg")` — snapshot-isolated commits, partition pruning); this
+container has no Iceberg jars, so the reader falls back to parquet with
+the same layout and the gap is import-gated, not papered over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Corpus scan (S1/S2). `source` is an Iceberg table name
+    (catalog.db.table) or a parquet path. Iceberg gives snapshot reads +
+    partition pruning on the cluster; parquet is the sandbox fallback."""
+    if "/" not in source and not os.path.exists(source):
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception as e:  # noqa: BLE001 — jar absent in this container
+            raise RuntimeError(
+                f"Iceberg table {source!r} requested but the Iceberg runtime "
+                "is not on the classpath (add iceberg-spark-runtime via "
+                "spark-submit --packages)"
+            ) from e
+    return spark.read.parquet(source)
+
+
+# ------------------------------------------------------------- index catalog
+
+
+def list_indexes(base_dir: str) -> list[dict]:
+    """listIndeces analog: every index directory with its stats."""
+    out = []
+    if not os.path.isdir(base_dir):
+        return out
+    for name in sorted(os.listdir(base_dir)):
+        stats_path = os.path.join(base_dir, name, "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                st = json.load(f)
+            out.append({"name": name, **st})
+    return out
+
+
+def delete_index(base_dir: str, name: str) -> bool:
+    """deleteIndex analog (destructive; drops data + lineage)."""
+    path = os.path.join(base_dir, name)
+    if not os.path.isdir(path):
+        return False
+    shutil.rmtree(path)
+    return True
+
+
+def refresh_index(spark: SparkSession, index_dir: str) -> None:
+    """refreshIndex analog: drop cached file listings so new segment
+    commits become visible to readers (REFRESH TABLE equivalent)."""
+    spark.catalog.clearCache()
+
+
+def index_exists(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, "stats.json"))

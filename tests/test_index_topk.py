@@ -17,7 +17,9 @@ from kbasesearchengine_spark.operators.indexer import IndexBuilder
 from kbasesearchengine_spark.operators.topk import InvertedIndex, topk, topk_naive
 from kbasesearchengine_spark.oracle import build_oracle_index, oracle_topk
 
-N_ROWS = 1000
+from conftest import SHARED_ROWS
+
+N_ROWS = SHARED_ROWS
 
 QUERIES = [
     "rfah",               # rare planted term
@@ -32,12 +34,11 @@ QUERIES = [
 
 
 @pytest.fixture(scope="module")
-def built(spark, tmp_path_factory):
-    idx_dir = str(tmp_path_factory.mktemp("index"))
-    corpus = generate_corpus(spark, N_ROWS, parallelism=8)
-    builder = IndexBuilder(spark, idx_dir, num_segments=8, segments_per_commit=4)
-    stats = builder.build(corpus, key_cols=["repo", "path", "commit"])
-    return idx_dir, stats
+def built(spark, shared_index_dir):
+    import json, os
+    with open(os.path.join(shared_index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    return shared_index_dir, stats
 
 
 @pytest.fixture(scope="module")

@@ -12,13 +12,8 @@ from kbasesearchengine_spark.functions.bm25 import idf as bm25_idf
 
 
 @pytest.fixture(scope="module")
-def built(spark, tmp_path_factory):
-    idx_dir = str(tmp_path_factory.mktemp("mergeidx"))
-    corpus = generate_corpus(spark, 600, parallelism=8)
-    IndexBuilder(spark, idx_dir, num_segments=8, segments_per_commit=8).build(
-        corpus, key_cols=["repo", "path", "commit"]
-    )
-    return idx_dir
+def built(shared_index_dir):
+    return shared_index_dir
 
 
 def _kernel_topk(postings_pdf, idfs, avgdl, mode):

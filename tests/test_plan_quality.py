@@ -14,13 +14,8 @@ from kbasesearchengine_spark.operators.topk import InvertedIndex
 
 
 @pytest.fixture(scope="module")
-def index(spark, tmp_path_factory):
-    idx_dir = str(tmp_path_factory.mktemp("planidx"))
-    corpus = generate_corpus(spark, 300, parallelism=4)
-    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
-        corpus, key_cols=["repo", "path", "commit"]
-    )
-    return InvertedIndex(spark, idx_dir)
+def index(spark, shared_index_dir):
+    return InvertedIndex(spark, shared_index_dir)
 
 
 def _plan(df) -> str:

@@ -19,13 +19,8 @@ from kbasesearchengine_spark.plans.search import (
 
 
 @pytest.fixture(scope="module")
-def index(spark, tmp_path_factory):
-    idx_dir = str(tmp_path_factory.mktemp("apiidx"))
-    corpus = generate_corpus(spark, 500, parallelism=8)
-    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
-        corpus, key_cols=["repo", "path", "commit"]
-    )
-    return InvertedIndex(spark, idx_dir)
+def index(spark, shared_index_dir):
+    return InvertedIndex(spark, shared_index_dir)
 
 
 def test_default_sort_is_not_relevance(index):
@@ -121,4 +116,4 @@ def test_get_objects(index):
 def test_empty_query_match_all(index):
     """No filters at all => match_all (P6)."""
     n = search_objects(index, MatchFilter(), pagination=Pagination(0, 1000)).count()
-    assert n == 500
+    assert n == 800

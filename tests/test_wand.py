@@ -16,13 +16,8 @@ from kbasesearchengine_spark.functions.bm25 import idf as bm25_idf
 
 
 @pytest.fixture(scope="module")
-def built(spark, tmp_path_factory):
-    idx_dir = str(tmp_path_factory.mktemp("wandidx"))
-    corpus = generate_corpus(spark, 800, parallelism=8)
-    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
-        corpus, key_cols=["repo", "path", "commit"]
-    )
-    return idx_dir
+def built(shared_index_dir):
+    return shared_index_dir
 
 
 QUERIES = [
