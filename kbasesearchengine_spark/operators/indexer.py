@@ -280,6 +280,97 @@ def build_postings(
     return arranged.mapInPandas(encode, schema=POSTING_SCHEMA)
 
 
+def build_postings_from_docs(
+    docs: DataFrame,
+    avgdl: float,
+    text_col: str = "content",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-shuffle posting build (the Lucene RAM-buffer flush model).
+
+    Raw docs are range-partitioned on (segment, doc_id) — each partition a
+    contiguous doc range — then ONE mapInPandas stage tokenizes, tf-
+    aggregates, groups and compresses. Compared to the two-stage
+    tokenize→shuffle-token-rows→encode plan this moves ~1/2 the bytes
+    (raw text once instead of the exploded (doc,term,tf,dl) stream) and
+    crosses the Arrow boundary twice instead of four times.
+
+    Memory: one partition's uncompressed postings (bounded by the doc-range
+    budget — at scale, size partitions/segments so this fits the worker;
+    the merge stage consolidates many small segments afterwards).
+
+    A (segment, term) posting may split across a partition boundary —
+    readers merge duplicate term rows (disjoint, ordered doc ranges).
+    """
+    spark = docs.sparkSession
+    nump = num_partitions or spark.sparkContext.defaultParallelism
+    src = (
+        docs.select("doc_id", "segment", "dl", F.col(text_col).alias("_text"))
+        .repartitionByRange(nump, "segment", "doc_id")
+        .sortWithinPartitions("segment", "doc_id")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seg_l, doc_l, dl_l, tf_l, term_l = [], [], [], [], []
+        for pdf in batches:
+            toks_list = [tokenize_py(t) for t in pdf["_text"]]
+            lens = np.fromiter(
+                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
+            )
+            if lens.sum() == 0:
+                continue
+            ridx = np.repeat(np.arange(len(toks_list)), lens)
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_list if t]
+            )
+            codes, uniq_terms = pd.factorize(flat, sort=False)
+            key = ridx * np.int64(len(uniq_terms)) + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            rr = (ukey // len(uniq_terms)).astype(np.int64)
+            tcode = (ukey % len(uniq_terms)).astype(np.int64)
+            seg_l.append(pdf["segment"].to_numpy()[rr].astype(np.int32))
+            doc_l.append(pdf["doc_id"].to_numpy()[rr])
+            dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int64))
+            tf_l.append(counts.astype(np.int64))
+            term_l.append(np.asarray(uniq_terms, dtype=object)[tcode])
+        if not seg_l:
+            return
+        seg = np.concatenate(seg_l)
+        doc = np.concatenate(doc_l)
+        dl = np.concatenate(dl_l)
+        tf = np.concatenate(tf_l)
+        term = np.concatenate(term_l)
+        codes, uniq = pd.factorize(term, sort=False)
+        order = np.lexsort((doc, codes, seg))
+        seg, doc, dl, tf, codes = (
+            seg[order], doc[order], dl[order], tf[order], codes[order]
+        )
+        n = len(doc)
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (seg[1:] != seg[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(new_group)
+        ends = np.append(starts[1:], n)
+        tfn = tf_norm(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+        enc = encode_grouped(
+            doc.astype(np.uint64), tf.astype(np.uint64), dl.astype(np.uint64),
+            starts, ends, tfn, BLOCK_SIZE,
+        )
+        yield pd.DataFrame(
+            {
+                "segment": seg[starts].astype(np.int32),
+                "term": np.asarray(uniq, dtype=object)[codes[starts]],
+                "df": (ends - starts).astype(np.int32),
+                "doc_ids": enc["doc_ids"],
+                "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "block_last": enc["block_last"],
+                "block_max": enc["block_max"],
+            }
+        )
+
+    return src.mapInPandas(build, schema=POSTING_SCHEMA)
+
+
 def build_terms(postings: DataFrame) -> DataFrame:
     """Global term dictionary: df (and collection frequency is derivable).
 
@@ -393,8 +484,7 @@ class IndexBuilder:
             t0 = time.time()
             lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
             part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            toks = tokenize_tf(part, text_col=text_col)
-            postings = build_postings(toks, stats["avgdl"])
+            postings = build_postings_from_docs(part, stats["avgdl"], text_col)
             postings.write.mode("overwrite").partitionBy("segment").parquet(
                 postings_path
             )

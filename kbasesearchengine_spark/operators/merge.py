@@ -48,12 +48,21 @@ def merge_postings(
         avgdl_ = bc.value
         new_seg = int(pdf["new_segment"].iloc[0])
         term = pdf["term"].iloc[0]
-        pdf = pdf.sort_values("segment")  # doc ranges are segment-ordered
-        ids = np.concatenate(
-            [delta_decode(bytes(b)) for b in pdf["doc_ids"]]
-        ).astype(np.uint64)
-        tfs = np.concatenate([varint_decode(bytes(b)) for b in pdf["tfs"]])
-        dls = np.concatenate([varint_decode(bytes(b)) for b in pdf["dls"]])
+        parts = [
+            (
+                delta_decode(bytes(r["doc_ids"])),
+                varint_decode(bytes(r["tfs"])),
+                varint_decode(bytes(r["dls"])),
+            )
+            for _, r in pdf.iterrows()
+        ]
+        parts = [p for p in parts if len(p[0])]
+        # disjoint doc ranges (a source segment may also be split across
+        # build partitions) — order by first doc id
+        parts.sort(key=lambda p: int(p[0][0]))
+        ids = np.concatenate([p[0] for p in parts]).astype(np.uint64)
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
         assert np.all(np.diff(ids.astype(np.int64)) > 0), "overlapping segments"
         n = len(ids)
         tfn = tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl_)

@@ -99,13 +99,26 @@ def _segment_topk_kernel(
         from .wand import wand_topk_segment
 
         return wand_topk_segment(pdf, idfs, avgdl, k)
-    decoded = {}
+    # a (segment, term) posting can be split across build partitions
+    # (disjoint, ordered doc ranges) — merge duplicate term rows
+    parts: dict[str, list] = {}
     for _, row in pdf.iterrows():
-        decoded[row["term"]] = (
-            delta_decode(bytes(row["doc_ids"])).astype(np.int64),
-            varint_decode(bytes(row["tfs"])).astype(np.float64),
-            varint_decode(bytes(row["dls"])).astype(np.float64),
+        parts.setdefault(row["term"], []).append(
+            (
+                delta_decode(bytes(row["doc_ids"])).astype(np.int64),
+                varint_decode(bytes(row["tfs"])).astype(np.float64),
+                varint_decode(bytes(row["dls"])).astype(np.float64),
+            )
         )
+    decoded = {}
+    for t, ps in parts.items():
+        if len(ps) == 1:
+            decoded[t] = ps[0]
+        else:
+            ps.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
+            decoded[t] = tuple(
+                np.concatenate([p[i] for p in ps]) for i in range(3)
+            )
     qterms = sorted(decoded.keys())  # fixed reduction order
 
     if mode == "and":

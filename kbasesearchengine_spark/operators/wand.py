@@ -59,15 +59,30 @@ def wand_topk_segment(
     if len(pdf) == 0:
         return empty
 
-    terms = []
+    # merge duplicate term rows (posting split across build partitions:
+    # disjoint, ordered doc ranges — block arrays concatenate in doc order)
+    by_term: dict[str, list] = {}
     for _, row in pdf.iterrows():
         ids, tfs, dls, block_last = _decode_term(row)
-        ub = np.asarray(row["block_max"], dtype=np.float64) * idfs[row["term"]]
+        if len(ids) == 0:
+            continue
+        bmax = np.asarray(row["block_max"], dtype=np.float64)
+        by_term.setdefault(row["term"], []).append(
+            (ids, tfs, dls, block_last, bmax)
+        )
+    terms = []
+    for t, ps in by_term.items():
+        ps.sort(key=lambda p: int(p[0][0]))
+        ids = np.concatenate([p[0] for p in ps])
+        tfs = np.concatenate([p[1] for p in ps])
+        dls = np.concatenate([p[2] for p in ps])
+        block_last = np.concatenate([p[3] for p in ps])
+        ub = np.concatenate([p[4] for p in ps]) * idfs[t]
         # block start docs: previous block's last + 1 (first block: ids[0])
         starts = np.empty_like(block_last)
         starts[0] = ids[0]
         starts[1:] = block_last[:-1] + 1
-        terms.append((row["term"], ids, tfs, dls, block_last, starts, ub))
+        terms.append((t, ids, tfs, dls, block_last, starts, ub))
 
     # elementary intervals: cut doc space at every block boundary
     cuts = np.unique(
