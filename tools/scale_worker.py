@@ -47,9 +47,13 @@ def main() -> None:
     results = {}
     q_times = {}
     for text, mode in QUERIES:
-        t0 = time.time()
-        rows = topk(index, text, k=10, mode=mode, hydrate=False).collect()
-        q_times[f"{text}|{mode}"] = round(time.time() - t0, 3)
+        best, rows = None, None
+        for _ in range(3):  # warm runs; report the best (noise floor)
+            t0 = time.time()
+            rows = topk(index, text, k=10, mode=mode, hydrate=False).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        q_times[f"{text}|{mode}"] = round(best, 3)
         results[f"{text}|{mode}"] = [
             [int(r["doc_id"]), float(r["score"])] for r in rows
         ]
