@@ -90,15 +90,19 @@ def encode_grouped(
     dl: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
-    tfn: np.ndarray,
     block_size: int = 128,
 ) -> dict:
     """Batch-encode MANY posting groups in three varint passes total.
 
     doc/tf/dl: concatenated per-group arrays (uint64), sorted by doc within
-    each group; starts/ends: group boundaries; tfn: per-entry tf_norm (for
-    block maxima). Returns dict of per-group lists:
-      doc_ids, tfs, dls (bytes), block_last, block_max (lists).
+    each group; starts/ends: group boundaries. Returns dict of per-group
+    lists: doc_ids, tfs, dls (bytes), block_last, block_max_tf,
+    block_min_dl (lists).
+
+    Block metadata is avgdl-INDEPENDENT: (max tf, min dl) per block gives
+    the query-time upper bound tf_norm(max_tf, min_dl, avgdl) — valid for
+    any current avgdl, so incremental adds (which change N/avgdl) never
+    stale the pruning bounds.
 
     The per-group Python work is reduced to buffer slicing — all arithmetic
     (delta, byte sizing, byte scatter, block reductions) is whole-array.
@@ -127,7 +131,14 @@ def encode_grouped(
     within = np.arange(n, dtype=np.int64) - starts[gidx]
     bstarts = np.flatnonzero(within % block_size == 0)
     bends = np.append(bstarts[1:], n) - 1
-    bmax = np.maximum.reduceat(tfn, bstarts) if n else np.empty(0)
+    bmax_tf = (
+        np.maximum.reduceat(tf, bstarts).astype(np.int64)
+        if n else np.empty(0, dtype=np.int64)
+    )
+    bmin_dl = (
+        np.minimum.reduceat(dl, bstarts).astype(np.int64)
+        if n else np.empty(0, dtype=np.int64)
+    )
     blast = doc[bends].astype(np.int64) if n else np.empty(0, dtype=np.int64)
     blocks_per_group = (lens + block_size - 1) // block_size
     goff = np.zeros(n_groups + 1, dtype=np.int64)
@@ -135,7 +146,10 @@ def encode_grouped(
     out["block_last"] = [
         blast[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
     ]
-    out["block_max"] = [
-        bmax[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
+    out["block_max_tf"] = [
+        bmax_tf[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
+    ]
+    out["block_min_dl"] = [
+        bmin_dl[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
     ]
     return out

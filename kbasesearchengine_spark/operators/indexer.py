@@ -44,7 +44,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.bm25 import tf_norm
 from ..functions.codec import encode_grouped
 from ..functions.tokenize import tokenize_py, token_count_udf
 
@@ -52,7 +51,8 @@ BLOCK_SIZE = 128  # postings per block-max block
 
 POSTING_SCHEMA = (
     "segment int, term string, df int, doc_ids binary, tfs binary, "
-    "dls binary, block_last array<bigint>, block_max array<double>"
+    "dls binary, block_last array<bigint>, block_max_tf array<bigint>, "
+    "block_min_dl array<bigint>"
 )
 
 
@@ -196,7 +196,7 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
 # ---------------------------------------------------------------- postings
 
 
-def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     """Encode one sorted run of token rows into posting rows.
 
     pdf is sorted by (segment, term, doc_id). All arithmetic (group
@@ -208,7 +208,7 @@ def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
         return pd.DataFrame(
             columns=[
                 "segment", "term", "df", "doc_ids", "tfs", "dls",
-                "block_last", "block_max",
+                "block_last", "block_max_tf", "block_min_dl",
             ]
         )
     seg = pdf["segment"].to_numpy()
@@ -221,8 +221,7 @@ def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     starts = np.flatnonzero(new_group)
     ends = np.append(starts[1:], n)
 
-    tfn = tf_norm(tf.astype(np.float64), dl.astype(np.float64), avgdl)
-    enc = encode_grouped(doc, tf, dl, starts, ends, tfn, BLOCK_SIZE)
+    enc = encode_grouped(doc, tf, dl, starts, ends, BLOCK_SIZE)
     return pd.DataFrame(
         {
             "segment": seg[starts].astype(np.int32),
@@ -232,14 +231,14 @@ def _encode_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
             "tfs": enc["tfs"],
             "dls": enc["dls"],
             "block_last": enc["block_last"],
-            "block_max": enc["block_max"],
+            "block_max_tf": enc["block_max_tf"],
+            "block_min_dl": enc["block_min_dl"],
         }
     )
 
 
 def build_postings(
     tokens: DataFrame,
-    avgdl: float,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Sort-based posting construction (the Lucene-analog merge sort).
@@ -273,16 +272,15 @@ def build_postings(
             carry = pdf.iloc[tail_start:]
             head = pdf.iloc[:tail_start]
             if len(head):
-                yield _encode_groups(head, avgdl)
+                yield _encode_groups(head)
         if carry is not None and len(carry):
-            yield _encode_groups(carry, avgdl)
+            yield _encode_groups(carry)
 
     return arranged.mapInPandas(encode, schema=POSTING_SCHEMA)
 
 
 def build_postings_from_docs(
     docs: DataFrame,
-    avgdl: float,
     text_col: str = "content",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -350,10 +348,9 @@ def build_postings_from_docs(
         new_group[1:] = (seg[1:] != seg[:-1]) | (codes[1:] != codes[:-1])
         starts = np.flatnonzero(new_group)
         ends = np.append(starts[1:], n)
-        tfn = tf_norm(tf.astype(np.float64), dl.astype(np.float64), avgdl)
         enc = encode_grouped(
             doc.astype(np.uint64), tf.astype(np.uint64), dl.astype(np.uint64),
-            starts, ends, tfn, BLOCK_SIZE,
+            starts, ends, BLOCK_SIZE,
         )
         yield pd.DataFrame(
             {
@@ -364,7 +361,8 @@ def build_postings_from_docs(
                 "tfs": enc["tfs"],
                 "dls": enc["dls"],
                 "block_last": enc["block_last"],
-                "block_max": enc["block_max"],
+                "block_max_tf": enc["block_max_tf"],
+                "block_min_dl": enc["block_min_dl"],
             }
         )
 
@@ -484,7 +482,7 @@ class IndexBuilder:
             t0 = time.time()
             lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
             part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            postings = build_postings_from_docs(part, stats["avgdl"], text_col)
+            postings = build_postings_from_docs(part, text_col)
             postings.write.mode("overwrite").partitionBy("segment").parquet(
                 postings_path
             )
@@ -518,3 +516,58 @@ class IndexBuilder:
 
         stats["build_seconds"] = time.time() - t_all
         return stats
+
+
+# ----------------------------------------------------------------增 incremental
+
+
+def add_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_corpus: DataFrame,
+    key_cols: list[str],
+    text_col: str = "content",
+) -> dict:
+    """Incremental add (M6 / NEW_VERSION events): index new docs as NEW
+    segments appended after the current max doc_id.
+
+    The scoring stats (N, avgdl, df) are updated; existing postings are
+    untouched (immutable segments, the Lucene model) — the merge stage
+    (operators/merge.py) consolidates small incremental segments later.
+    Note: BM25 idf/avgdl change with N, so scores shift corpus-wide by
+    design (same as ES refresh semantics).
+    """
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    seg_size = stats["seg_size"]
+    base_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    start_id = base_docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # new ids continue the dense sequence; new segments start on a fresh
+    # boundary so they never straddle existing ones
+    first_new_seg = math.ceil(start_id / seg_size)
+    start_id = first_new_seg * seg_size
+
+    with_ids, n_new = assign_doc_ids(new_corpus, key_cols)
+    docs = (
+        with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(start_id))
+        .withColumn("sha256", F.sha2(F.col(text_col), 256))
+        .withColumn("dl", token_count_udf(F.col(text_col)))
+        .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
+    )
+    docs.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+    all_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    new_stats = compute_stats(all_docs)
+    stats.update(new_stats)
+
+    new_docs = all_docs.where(F.col("doc_id") >= start_id)
+    postings = build_postings_from_docs(new_docs, text_col)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    postings.write.mode("overwrite").partitionBy("segment").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    terms = build_terms(spark.read.parquet(os.path.join(index_dir, "postings")))
+    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return {"added": n_new, "first_segment": first_new_seg, **new_stats}

@@ -21,13 +21,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.bm25 import tf_norm
 from ..functions.codec import delta_decode, delta_encode, varint_decode, varint_encode
 from .indexer import BLOCK_SIZE, POSTING_SCHEMA
 
 
 def merge_postings(
-    postings: DataFrame, seg_map: Mapping[int, int], avgdl: float
+    postings: DataFrame, seg_map: Mapping[int, int]
 ) -> DataFrame:
     """Rewrite postings under a segment remapping {old_seg -> new_seg}.
 
@@ -42,10 +41,7 @@ def merge_postings(
     )
     remapped = to_merge.withColumn("new_segment", map_expr[F.col("segment")])
 
-    bc = spark.sparkContext.broadcast(avgdl)
-
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        avgdl_ = bc.value
         new_seg = int(pdf["new_segment"].iloc[0])
         term = pdf["term"].iloc[0]
         parts = [
@@ -65,11 +61,14 @@ def merge_postings(
         dls = np.concatenate([p[2] for p in parts])
         assert np.all(np.diff(ids.astype(np.int64)) > 0), "overlapping segments"
         n = len(ids)
-        tfn = tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl_)
         nb = math.ceil(n / BLOCK_SIZE)
         bl = [int(ids[min((i + 1) * BLOCK_SIZE, n) - 1]) for i in range(nb)]
-        bm = [
-            float(np.max(tfn[i * BLOCK_SIZE: min((i + 1) * BLOCK_SIZE, n)]))
+        bmax_tf = [
+            int(np.max(tfs[i * BLOCK_SIZE: min((i + 1) * BLOCK_SIZE, n)]))
+            for i in range(nb)
+        ]
+        bmin_dl = [
+            int(np.min(dls[i * BLOCK_SIZE: min((i + 1) * BLOCK_SIZE, n)]))
             for i in range(nb)
         ]
         return pd.DataFrame(
@@ -81,7 +80,8 @@ def merge_postings(
                 "tfs": [varint_encode(tfs)],
                 "dls": [varint_encode(dls)],
                 "block_last": [bl],
-                "block_max": [bm],
+                "block_max_tf": [bmax_tf],
+                "block_min_dl": [bmin_dl],
             }
         )
 

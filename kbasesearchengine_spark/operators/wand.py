@@ -41,6 +41,16 @@ def _decode_term(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     return ids, tfs, dls, block_last
 
 
+def _block_ub(row, avgdl: float) -> np.ndarray:
+    """Per-block tf_norm upper bound from avgdl-independent metadata:
+    tf_norm is increasing in tf and decreasing in dl, so
+    tf_norm(max_tf, min_dl, avgdl) bounds every posting in the block —
+    for the CURRENT avgdl (stays valid after incremental adds)."""
+    max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
+    min_dl = np.asarray(row["block_min_dl"], dtype=np.float64)
+    return tf_norm(max_tf, min_dl, avgdl)
+
+
 def wand_topk_segment(
     pdf: pd.DataFrame,
     idfs: dict[str, float],
@@ -66,7 +76,7 @@ def wand_topk_segment(
         ids, tfs, dls, block_last = _decode_term(row)
         if len(ids) == 0:
             continue
-        bmax = np.asarray(row["block_max"], dtype=np.float64)
+        bmax = _block_ub(row, avgdl)
         by_term.setdefault(row["term"], []).append(
             (ids, tfs, dls, block_last, bmax)
         )

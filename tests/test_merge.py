@@ -44,7 +44,7 @@ def test_merged_index_answers_identically(spark, built, query, mode):
     before = index.postings.where(F.col("term").isin(terms)).toPandas()
     # merge segments 0-3 -> 0 and 4-7 -> 4
     seg_map = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 4}
-    merged = merge_postings(index.postings, seg_map, avgdl)
+    merged = merge_postings(index.postings, seg_map)
     after = merged.where(F.col("term").isin(terms)).toPandas()
 
     assert set(after["segment"].unique()) <= {0, 4}
@@ -57,7 +57,7 @@ def test_merged_index_answers_identically(spark, built, query, mode):
 def test_merged_df_consistent(spark, built):
     index = InvertedIndex(spark, built)
     seg_map = {s: 0 for s in range(8)}
-    merged = merge_postings(index.postings, seg_map, index.stats["avgdl"])
+    merged = merge_postings(index.postings, seg_map)
     df_before = index.postings.groupBy("term").agg(F.sum("df").alias("df"))
     df_after = merged.groupBy("term").agg(F.sum("df").alias("df"))
     a = {r["term"]: r["df"] for r in df_before.collect()}
