@@ -11,19 +11,24 @@ Physical design (built for 100 TB, tested on local[32]):
   corpus ──assign_doc_ids──► docs(doc_id, keys…, lang, sha256, dl, segment)
           (dense, partition-invariant: doc_id = rank over sorted keys)
   docs ──agg──► stats(N, avgdl)                       [tiny, broadcast]
-  docs ──mapInPandas tokenize+count──► tokens(doc_id, segment, term, tf, dl)
-          (per-row tf pre-aggregation INSIDE the Arrow batch = map-side
-           combine before any shuffle)
-  tokens ──repartition(segment, term)──sortWithinPartitions(segment, term,
-           doc_id)──mapInPandas encode──► postings(segment, term, df,
-           doc_ids␣Δvarint, tfs␣varint, dls␣varint, block_last, block_max)
+  docs ──repartitionByRange(segment, doc_id)──mapInPandas(tokenize +
+         tf-aggregate + lexsort + compress)──► postings(segment, term, df,
+         doc_ids␣Δvarint, tfs␣varint, dls␣varint,
+         block_last/block_max_tf/block_min_dl)
+          [build_postings_from_docs — the DEFAULT one-shuffle RAM-buffer
+           build, the Lucene flush model; memory bound = partition's doc
+           budget, consolidated later by the merge stage]
   postings ──groupBy(term).agg(sum df)──► terms(term, df)
 
-Skew: the shuffle key is (segment, term) — `segment` is a bounded doc-range
-bucket, so a stopword's postings are split across all segments (the salt
-role of the north rule's "salted repartitioning by term-hash"); no single
-reducer ever sees more than one segment of one term. Partial aggregation
-(tf within a row batch) happens before the shuffle.
+An alternative sort-based two-stage path (tokenize_tf + build_postings:
+explode (doc,term,tf) rows, shuffle on (segment, term), in-JVM spill sort,
+streaming encode) is kept for memory-constrained segments.
+
+Skew: postings are sharded by `segment`, a bounded doc-range bucket — a
+stopword's postings split across every segment (the salt role of the north
+rule's "salted repartitioning by term-hash"); no single task ever holds
+more than one doc-range of one term. tf is pre-aggregated inside the Arrow
+batch (map-side combine) before anything shuffles.
 
 Resume: segments are built in groups; each group is committed with a
 dynamic-partition-overwrite (idempotent) followed by a lineage marker with
@@ -48,6 +53,7 @@ from ..functions.codec import encode_grouped
 from ..functions.tokenize import tokenize_py, token_count_udf
 
 BLOCK_SIZE = 128  # postings per block-max block
+FORMAT_VERSION = 2  # bump on any index layout/schema change
 
 POSTING_SCHEMA = (
     "segment int, term string, df int, doc_ids binary, tfs binary, "
@@ -308,8 +314,48 @@ def build_postings_from_docs(
         .sortWithinPartitions("segment", "doc_id")
     )
 
+    FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.7 GB arrays)
+
+    def _flush(seg_l, doc_l, dl_l, tf_l, term_l):
+        seg = np.concatenate(seg_l)
+        doc = np.concatenate(doc_l)
+        dl = np.concatenate(dl_l)
+        tf = np.concatenate(tf_l)
+        term = np.concatenate(term_l)
+        codes, uniq = pd.factorize(term, sort=False)
+        # input rows are already in (segment, doc) order — a STABLE sort by
+        # term code alone yields contiguous (term, segment, doc) runs (one
+        # int sort; ~3x cheaper than a 3-key lexsort)
+        order = np.argsort(codes, kind="stable")
+        seg, doc, dl, tf, codes = (
+            seg[order], doc[order], dl[order], tf[order], codes[order]
+        )
+        n = len(doc)
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (seg[1:] != seg[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(new_group)
+        ends = np.append(starts[1:], n)
+        enc = encode_grouped(
+            doc.astype(np.uint64), tf.astype(np.uint64), dl.astype(np.uint64),
+            starts, ends, BLOCK_SIZE,
+        )
+        return pd.DataFrame(
+            {
+                "segment": seg[starts].astype(np.int32),
+                "term": np.asarray(uniq, dtype=object)[codes[starts]],
+                "df": (ends - starts).astype(np.int32),
+                "doc_ids": enc["doc_ids"],
+                "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "block_last": enc["block_last"],
+                "block_max_tf": enc["block_max_tf"],
+                "block_min_dl": enc["block_min_dl"],
+            }
+        )
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seg_l, doc_l, dl_l, tf_l, term_l = [], [], [], [], []
+        pending = 0
         for pdf in batches:
             toks_list = [tokenize_py(t) for t in pdf["_text"]]
             lens = np.fromiter(
@@ -331,40 +377,15 @@ def build_postings_from_docs(
             dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int64))
             tf_l.append(counts.astype(np.int64))
             term_l.append(np.asarray(uniq_terms, dtype=object)[tcode])
-        if not seg_l:
-            return
-        seg = np.concatenate(seg_l)
-        doc = np.concatenate(doc_l)
-        dl = np.concatenate(dl_l)
-        tf = np.concatenate(tf_l)
-        term = np.concatenate(term_l)
-        codes, uniq = pd.factorize(term, sort=False)
-        order = np.lexsort((doc, codes, seg))
-        seg, doc, dl, tf, codes = (
-            seg[order], doc[order], dl[order], tf[order], codes[order]
-        )
-        n = len(doc)
-        new_group = np.ones(n, dtype=bool)
-        new_group[1:] = (seg[1:] != seg[:-1]) | (codes[1:] != codes[:-1])
-        starts = np.flatnonzero(new_group)
-        ends = np.append(starts[1:], n)
-        enc = encode_grouped(
-            doc.astype(np.uint64), tf.astype(np.uint64), dl.astype(np.uint64),
-            starts, ends, BLOCK_SIZE,
-        )
-        yield pd.DataFrame(
-            {
-                "segment": seg[starts].astype(np.int32),
-                "term": np.asarray(uniq, dtype=object)[codes[starts]],
-                "df": (ends - starts).astype(np.int32),
-                "doc_ids": enc["doc_ids"],
-                "tfs": enc["tfs"],
-                "dls": enc["dls"],
-                "block_last": enc["block_last"],
-                "block_max_tf": enc["block_max_tf"],
-                "block_min_dl": enc["block_min_dl"],
-            }
-        )
+            pending += len(ukey)
+            if pending >= FLUSH_PAIRS:
+                # RAM-buffer flush (Lucene-style): emit a sub-range of the
+                # partition as posting rows; readers merge split rows
+                yield _flush(seg_l, doc_l, dl_l, tf_l, term_l)
+                seg_l, doc_l, dl_l, tf_l, term_l = [], [], [], [], []
+                pending = 0
+        if seg_l:
+            yield _flush(seg_l, doc_l, dl_l, tf_l, term_l)
 
     return src.mapInPandas(build, schema=POSTING_SCHEMA)
 
@@ -454,6 +475,7 @@ class IndexBuilder:
             stats["num_segments"] = self.num_segments
             stats["seg_size"] = max(1, math.ceil(stats["n_docs"] / self.num_segments))
             stats["k1"], stats["b"] = 1.2, 0.75
+            stats["format_version"] = FORMAT_VERSION
             with open(os.path.join(self.index_dir, "stats.json"), "w") as f:
                 json.dump(stats, f)
             self.write_marker(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import ann, dedup, textstats
-from ..operators.indexer import IndexBuilder
+from ..operators.indexer import FORMAT_VERSION, IndexBuilder
 from ..operators.topk import InvertedIndex, topk
 from ..functions.tokenize import tokenize_py
 
@@ -54,7 +54,9 @@ def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
         tag = hashlib.md5(key.encode()).hexdigest()[:10]
-        idx_dir = os.path.join(tempfile.gettempdir(), f"kbse_index_{tag}")
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), f"kbse_index_v{FORMAT_VERSION}_{tag}"
+        )
         builder = IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=2)
         builder.build(
             _docs(spark, sf_dir),
