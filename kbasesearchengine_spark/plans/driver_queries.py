@@ -871,3 +871,80 @@ def mm_binary_features_q(spark, sf_dir):
     blobs = multimodal.to_binary_payload(d, "doc_id", "text")
     feats = multimodal.extract_features(blobs)
     return feats.select("doc_id", "n_bytes", "n_chars", "decoder").orderBy("doc_id")
+
+
+# =====================================================================
+# Declarative extraction rules (T1-T8; system/ObjectTypeParsingRules +
+# parse/KeywordParser in the reference) driven through real data
+# =====================================================================
+
+
+@q(
+    "xf_rules_events",
+    """
+WITH x AS (
+  SELECT event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+         CAST(event_type AS VARCHAR) AS etype,
+         coalesce(CAST(json_extract(props, '$.missing') AS BIGINT), 7)
+           AS with_default
+  FROM events),
+d AS (SELECT event_id, k_val, etype, with_default,
+             k_val * 2 AS derived FROM x)
+SELECT etype, count(*) AS cnt, sum(k_val) AS k_sum,
+       sum(derived) AS derived_sum, sum(with_default) AS def_sum
+FROM d GROUP BY etype ORDER BY etype
+""",
+)
+def xf_rules_events(spark, sf_dir):
+    """Declarative rule chain (JSON path projection T10, integer cast T2,
+    string cast T1, optional default T7, derived key T8) compiled to a
+    withColumn plan — the reference's KeywordParser pipeline."""
+    from ..functions.transforms import Rule, apply_rules
+
+    ev = _tbl(spark, sf_dir, "events")
+    rules = [
+        Rule("k_val", path="$.k", transform="integer"),
+        Rule("etype", path="event_type", transform="string"),
+        Rule("with_default", path="$.missing", transform="integer", default=7),
+        Rule("derived", source_key="k_val", transform="integer"),
+    ]
+    out = apply_rules(ev, rules, json_col="props").withColumn(
+        "derived", F.col("derived") * 2
+    )
+    return (
+        out.groupBy("etype")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k_val").alias("k_sum"),
+            F.sum("derived").alias("derived_sum"),
+            F.sum("with_default").alias("def_sum"),
+        )
+        .orderBy("etype")
+    )
+
+
+@q(
+    "api_search_page",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang IN ('en','fr') AND n_chars BETWEEN 100 AND 500
+ORDER BY n_chars DESC, doc_id ASC LIMIT 15 OFFSET 10
+""",
+)
+def api_search_page(spark, sf_dir):
+    """The search_objects facade end-to-end (MatchFilter terms+range →
+    sort → pagination → projection), driven as a driver query."""
+    from .search import MatchFilter, Pagination, SortingRule, search_objects
+
+    index = get_index(spark, sf_dir)
+    mf = MatchFilter(
+        term_in={"lang": ["en", "fr"]}, ranges={"n_chars": (100, 500)}
+    )
+    out = search_objects(
+        index,
+        mf,
+        sorting=[SortingRule("n_chars", ascending=False)],
+        pagination=Pagination(10, 15),
+    )
+    return out.select("doc_id", "lang", "n_chars")
