@@ -66,7 +66,10 @@ POSTING_SCHEMA = (
 
 
 def assign_doc_ids(
-    df: DataFrame, key_cols: list[str], num_partitions: int | None = None
+    df: DataFrame,
+    key_cols: list[str],
+    num_partitions: int | None = None,
+    compute_dl: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Dense doc_id = rank of row under ORDER BY key_cols (unique keys).
 
@@ -98,6 +101,8 @@ def assign_doc_ids(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sorted_df.schema if f.name != "_pid"
     ) + ", doc_id bigint"
+    if compute_dl:
+        out_schema += ", dl int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
@@ -110,6 +115,14 @@ def assign_doc_ids(
             out = pdf.drop(columns=["_pid"]).assign(
                 doc_id=np.arange(start, start + len(pdf), dtype=np.int64)
             )
+            if compute_dl:  # dl in the same pass — no second tokenize scan
+                out = out.assign(
+                    dl=np.fromiter(
+                        (len(tokenize_py(t)) for t in out[compute_dl]),
+                        dtype=np.int32,
+                        count=len(out),
+                    )
+                )
             yield out
 
     result = sorted_df.mapInPandas(assign, schema=out_schema)
@@ -134,14 +147,17 @@ def build_docs(
     Returns (docs, n_docs). The segment is a contiguous doc_id range bucket.
     """
     if doc_id_col is None:
-        with_ids, n_docs = assign_doc_ids(corpus, key_cols, id_partitions)
+        with_ids, n_docs = assign_doc_ids(
+            corpus, key_cols, id_partitions, compute_dl=text_col
+        )
     else:
-        with_ids = corpus.withColumn("doc_id", F.col(doc_id_col).cast("bigint"))
+        with_ids = corpus.withColumn(
+            "doc_id", F.col(doc_id_col).cast("bigint")
+        ).withColumn("dl", token_count_udf(F.col(text_col)))
         n_docs = with_ids.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
     docs = (
         with_ids.withColumn("sha256", F.sha2(F.col(text_col), 256))
-        .withColumn("dl", token_count_udf(F.col(text_col)))
         .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
     )
     return docs, n_docs
@@ -289,6 +305,7 @@ def build_postings_from_docs(
     docs: DataFrame,
     text_col: str = "content",
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """One-shuffle posting build (the Lucene RAM-buffer flush model).
 
@@ -308,11 +325,11 @@ def build_postings_from_docs(
     """
     spark = docs.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
-    src = (
-        docs.select("doc_id", "segment", "dl", F.col(text_col).alias("_text"))
-        .repartitionByRange(nump, "segment", "doc_id")
-        .sortWithinPartitions("segment", "doc_id")
-    )
+    src = docs.select("doc_id", "segment", "dl", F.col(text_col).alias("_text"))
+    if not pre_partitioned:
+        src = src.repartitionByRange(nump, "segment", "doc_id").sortWithinPartitions(
+            "segment", "doc_id"
+        )
 
     FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.7 GB arrays)
 
@@ -465,13 +482,18 @@ class IndexBuilder:
         t_all = time.time()
 
         docs_path = os.path.join(self.index_dir, "docs")
+        cached_docs = None
         if not (resume and self.has_marker("docs")):
             t0 = time.time()
             docs, n_docs = build_docs(
                 corpus, key_cols, text_col, doc_id_col, self.num_segments
             )
-            docs.write.mode("overwrite").parquet(docs_path)
-            stats = compute_stats(spark.read.parquet(docs_path))
+            # keep the assigned frame: it is already range-partitioned in
+            # doc_id order, so the posting build can run on it directly —
+            # no docs re-read and no second shuffle
+            cached_docs = docs.persist()
+            cached_docs.write.mode("overwrite").parquet(docs_path)
+            stats = compute_stats(cached_docs)
             stats["num_segments"] = self.num_segments
             stats["seg_size"] = max(1, math.ceil(stats["n_docs"] / self.num_segments))
             stats["k1"], stats["b"] = 1.2, 0.75
@@ -484,7 +506,9 @@ class IndexBuilder:
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             stats = json.load(f)
 
-        docs_df = spark.read.parquet(docs_path)
+        docs_df = cached_docs if cached_docs is not None else spark.read.parquet(
+            docs_path
+        )
         seg_size = stats["seg_size"]
         n_segments = max(1, math.ceil(stats["n_docs"] / seg_size))
 
@@ -504,7 +528,13 @@ class IndexBuilder:
             t0 = time.time()
             lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
             part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            postings = build_postings_from_docs(part, text_col)
+            # the freshly-assigned cached frame is already partitioned by
+            # contiguous doc ranges (range partition on the sort key whose
+            # rank IS the doc_id) — no shuffle needed; the parquet re-read
+            # path (resume) re-partitions explicitly
+            postings = build_postings_from_docs(
+                part, text_col, pre_partitioned=cached_docs is not None
+            )
             postings.write.mode("overwrite").partitionBy("segment").parquet(
                 postings_path
             )
@@ -536,6 +566,8 @@ class IndexBuilder:
             terms.write.mode("overwrite").parquet(os.path.join(self.index_dir, "terms"))
             self.write_marker("terms", {"seconds": time.time() - t0})
 
+        if cached_docs is not None:
+            cached_docs.unpersist()
         stats["build_seconds"] = time.time() - t_all
         return stats
 

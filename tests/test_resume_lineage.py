@@ -14,15 +14,38 @@ N_ROWS = 400
 
 
 def _postings_fingerprint(spark, idx_dir):
+    """Canonical LOGICAL postings: split rows merged per (segment, term).
+
+    Physical split points may differ between the in-memory build path and
+    the parquet-re-read resume path; the decoded postings must not."""
+    from kbasesearchengine_spark.functions.codec import (
+        delta_decode,
+        varint_decode,
+    )
+
     idx = InvertedIndex(spark, idx_dir)
     rows = idx.postings.select(
         "segment", "term", "df", "doc_ids", "tfs", "dls"
     ).collect()
-    return sorted(
-        (r["segment"], r["term"], r["df"], bytes(r["doc_ids"]), bytes(r["tfs"]),
-         bytes(r["dls"]))
-        for r in rows
-    )
+    merged = {}
+    for r in rows:
+        key = (r["segment"], r["term"])
+        merged.setdefault(key, []).append(
+            (
+                delta_decode(bytes(r["doc_ids"])).tolist(),
+                varint_decode(bytes(r["tfs"])).tolist(),
+                varint_decode(bytes(r["dls"])).tolist(),
+            )
+        )
+    out = {}
+    for key, parts in merged.items():
+        parts.sort(key=lambda p: p[0][0] if p[0] else -1)
+        out[key] = (
+            sum((p[0] for p in parts), []),
+            sum((p[1] for p in parts), []),
+            sum((p[2] for p in parts), []),
+        )
+    return out
 
 
 def test_kill_resume_no_recompute(spark, tmp_path):
