@@ -948,3 +948,57 @@ def api_search_page(spark, sf_dir):
         pagination=Pagination(10, 15),
     )
     return out.select("doc_id", "lang", "n_chars")
+
+
+def _bm25_page_oracle(query: str, start: int, count: int) -> str:
+    terms = sorted(set(tokenize_py(query)))
+    tlist = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE
+                / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+            ) AS score,
+         count(*) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored WHERE nt = {len(terms)})
+SELECT doc_id, rank, round(score, 6) AS score FROM ranked
+WHERE rank > {start} AND rank <= {start + count}
+ORDER BY rank
+"""
+
+
+@q("api_relevance_page2", _bm25_page_oracle("spark join", 10, 10))
+def api_relevance_page2(spark, sf_dir):
+    """Relevance-sorted pagination through the search facade (O3+O4:
+    from/size over BM25 ranking — the reference's search_objects with
+    explicit relevance sorting)."""
+    from .search import MatchFilter, Pagination, SortingRule, search_objects
+
+    index = get_index(spark, sf_dir)
+    out = search_objects(
+        index,
+        MatchFilter(full_text="spark join"),
+        sorting=[SortingRule("relevance")],
+        pagination=Pagination(10, 10),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.select(
+        "doc_id",
+        (F.row_number().over(w) + 10).cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
