@@ -41,25 +41,42 @@ from ..functions.tokenize import tokenize_py, tokenize_udf
 
 
 class InvertedIndex:
-    """Read handle over an index directory written by IndexBuilder."""
+    """Read handle over an index directory written by IndexBuilder.
+
+    DataFrame handles are memoized — repeated queries reuse the analyzed
+    relation (file listing cached JVM-side); call ``refresh()`` after a
+    new segment commit (the reference's refreshIndex, S6)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._dfs: dict[str, DataFrame] = {}
         with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+
+    def _tbl(self, name: str) -> DataFrame:
+        if name not in self._dfs:
+            self._dfs[name] = self.spark.read.parquet(
+                os.path.join(self.index_dir, name)
+            )
+        return self._dfs[name]
+
+    def refresh(self) -> None:
+        self._dfs.clear()
+        with open(os.path.join(self.index_dir, "stats.json")) as f:
             self.stats = json.load(f)
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return self._tbl("docs")
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._tbl("postings")
 
     @property
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        return self._tbl("terms")
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         rows = self.terms.where(F.col("term").isin(terms)).collect()
