@@ -91,24 +91,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, perm, minhash) — perms universal-hash minima over n-gram shingles.
 
-    h_i(x) = (a_i * h60(x) + b_i) mod M61, with a_i/b_i fixed constants —
-    deterministic and SQL-reproducible. One groupBy(id, perm) agg."""
+    h_i(x) = (a_i * h52(x) + b_i) mod M61, with a_i = 2i+1, b_i = 12345i+7 —
+    deterministic and SQL-reproducible. ONE groupBy(id) with `perms` min
+    aggregates (no crossJoin row explosion: the shuffle carries one row per
+    shingle, not per (shingle, perm))."""
     sh = shingles_df(docs, id_col, text_col, n).withColumn("hx", _h52(F.col("shingle")))
-    perms_df = docs.sparkSession.range(perms).select(
-        F.col("id").cast("int").alias("perm"),
-        (F.col("id") * 2 + 1).alias("a"),
-        (F.col("id") * 12345 + 7).alias("b"),
-    )
-    return (
-        sh.crossJoin(F.broadcast(perms_df))
-        .select(
-            "id",
-            "perm",
-            ((F.col("a") * F.col("hx") + F.col("b")) % F.lit(MERSENNE)).alias("hv"),
-        )
-        .groupBy("id", "perm")
-        .agg(F.min("hv").alias("minhash"))
-    )
+    aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("hx") + F.lit(12345 * i + 7))
+            % F.lit(MERSENNE)
+        ).alias(f"m{i}")
+        for i in range(perms)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    stack_args = ", ".join(f"'{i}', m{i}" for i in range(perms))
+    return wide.selectExpr(
+        "id", f"stack({perms}, {stack_args}) as (perm, minhash)"
+    ).withColumn("perm", F.col("perm").cast("int"))
 
 
 def minhash_band_buckets(
