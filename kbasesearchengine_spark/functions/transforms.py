@@ -132,3 +132,28 @@ def apply_rules(
 def indexed_columns(rules: list[Rule]) -> list[str]:
     """Columns that participate in posting build (T9 exclusion)."""
     return [r.name for r in rules if not r.not_indexed]
+
+
+def explode_subobjects(
+    df: DataFrame,
+    parent_id_cols: list[str],
+    array_col: str,
+    child_id: str = "sub_id",
+    child_val: str = "sub_value",
+) -> DataFrame:
+    """Sub-object extraction (reference: parse/SubObjectExtractor.java +
+    GUID composition KeywordParser.java:273-293): each element of a
+    repeated inner field becomes its own child document, carrying the
+    parent key plus a composite child id `<parent>:<type>/<ordinal>`.
+
+    Spark-first: posexplode + concat_ws — a UDTF-shaped operator with no
+    Python."""
+    parent_key = F.concat_ws("/", *[F.col(c) for c in parent_id_cols])
+    return df.select(
+        *parent_id_cols,
+        F.posexplode(F.col(array_col)).alias("_pos", child_val),
+    ).select(
+        *parent_id_cols,
+        F.col(child_val),
+        F.concat_ws(":", parent_key, F.col("_pos").cast("string")).alias(child_id),
+    )

@@ -1002,3 +1002,44 @@ def api_relevance_page2(spark, sf_dir):
         (F.row_number().over(w) + 10).cast("bigint").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@q(
+    "xf_subobjects",
+    """
+WITH exploded AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '')) AS sub_value,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9_]+'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id,
+       (doc_id::VARCHAR || '/' || lang) || ':' || pos::VARCHAR AS sub_id,
+       sub_value
+FROM exploded ORDER BY doc_id, pos LIMIT 500
+""",
+)
+def xf_subobjects(spark, sf_dir):
+    """Sub-object explode (SubObjectExtractor analog): tokens of each doc
+    become child documents with composite GUIDs `<parent>:<ordinal>`
+    (GUID composition, KeywordParser.java:273-293; GUID.java:99-120)."""
+    from ..functions.transforms import explode_subobjects
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 20)
+        .withColumn(
+            "toks",
+            F.expr("filter(split(lower(text), '[^a-z0-9_]+'), x -> x <> '')"),
+        )
+    )
+    out = explode_subobjects(d, ["doc_id", "lang"], "toks")
+    w = Window.partitionBy("doc_id").orderBy(F.split(F.col("sub_id"), ":")[1].cast("int"))
+    return (
+        out.select("doc_id", "sub_id", "sub_value",
+                   F.split(F.col("sub_id"), ":")[1].cast("int").alias("_pos"))
+        .orderBy("doc_id", "_pos")
+        .drop("_pos")
+        .limit(500)
+    )
