@@ -70,28 +70,35 @@ def assign_doc_ids(
     key_cols: list[str],
     num_partitions: int | None = None,
     compute_dl: str | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int | None]:
     """Dense doc_id = rank of row under ORDER BY key_cols (unique keys).
 
     Partition-count-invariant (FIXTURES.md §1): the id is the global sort
     rank, which does not depend on where range-partition boundaries fall,
     so local[8] and local[32] assign identical ids. Two Arrow-only passes
     over a persisted range-sorted frame — no driver collect of data rows,
-    no per-row Python. Returns (df_with_doc_id, n_rows) — the count falls
-    out of the offset pass for free.
+    no per-row Python. Returns (df_with_doc_id, n_rows, total_dl) — count
+    and (with compute_dl) total token count fall out of the offset pass.
     """
     spark = df.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
+    src = df
+    if compute_dl:
+        # dl computed BEFORE the sort shuffle: the offsets job then yields
+        # N, total_dl (i.e. avgdl) for free — no separate stats pass
+        src = src.withColumn("dl", token_count_udf(F.col(compute_dl)))
     sorted_df = (
-        df.repartitionByRange(nump, *key_cols)
+        src.repartitionByRange(nump, *key_cols)
         .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    aggs = [F.count("*").alias("cnt")]
+    if compute_dl:
+        aggs.append(F.sum("dl").alias("sdl"))
+    rows = sorted_df.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: r["cnt"] for r in rows}
+    total_dl = sum(int(r["sdl"] or 0) for r in rows) if compute_dl else None
     offsets, acc = {}, 0
     for pid in range(max(counts) + 1 if counts else 0):
         offsets[pid] = acc
@@ -101,8 +108,6 @@ def assign_doc_ids(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sorted_df.schema if f.name != "_pid"
     ) + ", doc_id bigint"
-    if compute_dl:
-        out_schema += ", dl int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
@@ -112,21 +117,12 @@ def assign_doc_ids(
             pid = int(pdf["_pid"].iloc[0])
             start = bc.value[pid] + seen
             seen += len(pdf)
-            out = pdf.drop(columns=["_pid"]).assign(
+            yield pdf.drop(columns=["_pid"]).assign(
                 doc_id=np.arange(start, start + len(pdf), dtype=np.int64)
             )
-            if compute_dl:  # dl in the same pass — no second tokenize scan
-                out = out.assign(
-                    dl=np.fromiter(
-                        (len(tokenize_py(t)) for t in out[compute_dl]),
-                        dtype=np.int32,
-                        count=len(out),
-                    )
-                )
-            yield out
 
     result = sorted_df.mapInPandas(assign, schema=out_schema)
-    return result, acc
+    return result, acc, total_dl
 
 
 # ---------------------------------------------------------------- docs/stats
@@ -139,15 +135,16 @@ def build_docs(
     doc_id_col: str | None = None,
     num_segments: int = 16,
     id_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int | None]:
     """docs table: doc_id, keys, metadata, sha256(content), dl, segment.
 
     sha256 is the per-row invariant carried through the engine (reference
     analog: the md5 system field, ElasticIndexingStorage.java:404-410).
     Returns (docs, n_docs). The segment is a contiguous doc_id range bucket.
     """
+    total_dl = None
     if doc_id_col is None:
-        with_ids, n_docs = assign_doc_ids(
+        with_ids, n_docs, total_dl = assign_doc_ids(
             corpus, key_cols, id_partitions, compute_dl=text_col
         )
     else:
@@ -160,7 +157,7 @@ def build_docs(
         with_ids.withColumn("sha256", F.sha2(F.col(text_col), 256))
         .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
     )
-    return docs, n_docs
+    return docs, n_docs, total_dl
 
 
 def compute_stats(docs: DataFrame) -> dict:
@@ -485,7 +482,7 @@ class IndexBuilder:
         cached_docs = None
         if not (resume and self.has_marker("docs")):
             t0 = time.time()
-            docs, n_docs = build_docs(
+            docs, n_docs, total_dl = build_docs(
                 corpus, key_cols, text_col, doc_id_col, self.num_segments
             )
             # keep the assigned frame: it is already range-partitioned in
@@ -493,7 +490,11 @@ class IndexBuilder:
             # no docs re-read and no second shuffle
             cached_docs = docs.persist()
             cached_docs.write.mode("overwrite").parquet(docs_path)
-            stats = compute_stats(cached_docs)
+            if total_dl is not None:
+                stats = {"n_docs": n_docs,
+                         "avgdl": total_dl / n_docs if n_docs else 0.0}
+            else:
+                stats = compute_stats(cached_docs)
             stats["num_segments"] = self.num_segments
             stats["seg_size"] = max(1, math.ceil(stats["n_docs"] / self.num_segments))
             stats["k1"], stats["b"] = 1.2, 0.75
@@ -601,7 +602,7 @@ def add_documents(
     first_new_seg = math.ceil(start_id / seg_size)
     start_id = first_new_seg * seg_size
 
-    with_ids, n_new = assign_doc_ids(new_corpus, key_cols)
+    with_ids, n_new, _ = assign_doc_ids(new_corpus, key_cols)
     docs = (
         with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(start_id))
         .withColumn("sha256", F.sha2(F.col(text_col), 256))
