@@ -137,6 +137,11 @@ def _segment_topk_kernel(
                 np.concatenate([p[i] for p in ps]) for i in range(3)
             )
     qterms = sorted(decoded.keys())  # fixed reduction order
+    if not qterms:
+        # cogrouped segments can have allowed docs but zero query-term
+        # posting rows — nothing to score (OR path would otherwise hit
+        # np.concatenate([]) below)
+        return empty
 
     if mode == "and":
         # intersect starting from the rarest list (galloping via searchsorted)
@@ -186,9 +191,16 @@ def _segment_topk_kernel(
     if docs_arr.size == 0:
         return empty
     if k is not None and docs_arr.size > k:
-        part = np.argpartition(-score, k - 1)[:k]
-        docs_arr, score = docs_arr[part], score[part]
+        # tie-aware selection: keep every doc tied with the k-th score so
+        # the lexsort below resolves boundary ties by doc_id asc (the
+        # pinned deterministic order), not argpartition's arbitrary pick
+        part = np.argpartition(-score, k - 1)
+        kth = score[part[k - 1]]
+        keep = score >= kth
+        docs_arr, score = docs_arr[keep], score[keep]
     order = np.lexsort((docs_arr, -score))
+    if k is not None:
+        order = order[:k]
     return pd.DataFrame({"doc_id": docs_arr[order], "score": score[order]})
 
 

@@ -80,8 +80,10 @@ def wand_topk_segment(
         by_term.setdefault(row["term"], []).append(
             (ids, tfs, dls, block_last, bmax)
         )
+    # sorted-term iteration pins the float reduction order so WAND and the
+    # exhaustive kernel produce bit-identical OR scores
     terms = []
-    for t, ps in by_term.items():
+    for t, ps in sorted(by_term.items()):
         ps.sort(key=lambda p: int(p[0][0]))
         ids = np.concatenate([p[0] for p in ps])
         tfs = np.concatenate([p[1] for p in ps])
@@ -150,12 +152,18 @@ def wand_topk_segment(
         top_docs = np.concatenate([top_docs, docs])
         top_scores = np.concatenate([top_scores, scores])
         if len(top_docs) > k:
-            part = np.argpartition(-top_scores, k - 1)[:k]
-            top_docs, top_scores = top_docs[part], top_scores[part]
-        if len(top_docs) >= k:
+            # tie-aware prune: keep every doc tied with the k-th score —
+            # a tied doc dropped here could be the deterministic (doc_id
+            # asc) winner of the k-th slot
+            part = np.argpartition(-top_scores, k - 1)
+            kth = float(top_scores[part[k - 1]])
+            keep = top_scores >= kth
+            top_docs, top_scores = top_docs[keep], top_scores[keep]
+            theta = kth
+        elif len(top_docs) == k:
             theta = float(np.min(top_scores))
 
     if top_docs.size == 0:
         return empty
-    o = np.lexsort((top_docs, -top_scores))
+    o = np.lexsort((top_docs, -top_scores))[:k]
     return pd.DataFrame({"doc_id": top_docs[o], "score": top_scores[o]})

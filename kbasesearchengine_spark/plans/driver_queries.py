@@ -351,7 +351,8 @@ def ft_highlight(spark, sf_dir):
 @q(
     "ft_exists_filter",
     """
-SELECT count(*) AS with_source, sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS long_docs
+SELECT count(*) AS with_source,
+       CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs
 FROM documents WHERE source IS NOT NULL AND length(text) > 0
 """,
 )
@@ -549,7 +550,7 @@ def events_type_counts(spark, sf_dir):
     "events_expand_json",
     """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
 FROM events GROUP BY event_type ORDER BY event_type
 """,
 )
@@ -653,7 +654,7 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(tail: str = "ORDER BY id LIMIT 100") -> str:
     from ..operators.dedup import HASH_BITS
 
     bit_sum = " + ".join(
@@ -666,7 +667,7 @@ WITH tok AS (
   SELECT doc_id AS id, unnest({_DUCK_TOKS}) AS token FROM documents),
 tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
 hx AS (SELECT id, tf, ('0x' || substr(md5(token), 1, 13))::BIGINT AS hx FROM tf)
-SELECT id, ({bit_sum}) AS simhash FROM hx GROUP BY id ORDER BY id LIMIT 100
+SELECT id, ({bit_sum}) AS simhash FROM hx GROUP BY id {tail}
 """
 
 
@@ -681,11 +682,21 @@ def dedup_simhash_q(spark, sf_dir):
     )
 
 
-@q("dedup_simhash_pairs", None)
+@q(
+    "dedup_simhash_pairs",
+    f"""
+WITH sh AS ({_simhash_oracle(tail="")})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+""",
+)
 def dedup_simhash_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs via pigeonhole chunk join + hamming verify
-    (rows-only check: the chunk-join candidate generation is set-equal to
-    exhaustive hamming≤3 by the pigeonhole principle, asserted in pytest)."""
+    """SimHash near-dup pairs via pigeonhole chunk join + hamming verify.
+    The oracle is the exhaustive O(n²) self-join (fine in DuckDB at sf0.01);
+    the engine's chunk join is set-equal by the pigeonhole principle."""
     return dedup.simhash_near_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
     ).orderBy("id_a", "id_b")
@@ -719,10 +730,44 @@ def ann_cosine_topk_q(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@q("ann_lsh_topk", None)
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                    probe_hamming: int = 2, k: int = 10) -> str:
+    """Reproduce the LSH probe + exact re-rank in SQL. The hyperplanes are
+    seed-deterministic (ann.hyperplanes), emitted as DOUBLE[] literals; the
+    query vector and its signature are computed inside the SQL itself."""
+    planes = ann.hyperplanes(dim, n_planes, seed)
+
+    def sig_expr(vec_sql: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec_sql}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {sig_expr('q.qv')}::BIGINT AS qsig FROM q),
+sigs AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                {sig_expr('embedding::DOUBLE[]')}::BIGINT AS sig
+         FROM embeddings),
+cand AS (SELECT s.vec_id, s.ev FROM sigs s CROSS JOIN qs
+         WHERE bit_count(xor(s.sig, qs.qsig)) <= {probe_hamming})
+SELECT c.vec_id,
+       round(list_cosine_similarity(c.ev, q.qv), 6) AS cosine
+FROM cand c CROSS JOIN q
+ORDER BY list_cosine_similarity(c.ev, q.qv) DESC, c.vec_id ASC
+LIMIT {k}
+"""
+
+
+@q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk_q(spark, sf_dir):
-    """LSH-bucketed ANN (random hyperplanes, probe hamming≤1, exact
-    re-rank). Rows-only check; recall vs brute force asserted in pytest."""
+    """LSH-bucketed ANN (random hyperplanes, probe hamming≤2, exact
+    re-rank). Oracle reproduces the seed-deterministic hyperplane buckets,
+    probe set and exact cosine re-rank in SQL."""
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
@@ -891,8 +936,9 @@ WITH x AS (
   FROM events),
 d AS (SELECT event_id, k_val, etype, with_default,
              k_val * 2 AS derived FROM x)
-SELECT etype, count(*) AS cnt, sum(k_val) AS k_sum,
-       sum(derived) AS derived_sum, sum(with_default) AS def_sum
+SELECT etype, count(*) AS cnt, CAST(sum(k_val) AS BIGINT) AS k_sum,
+       CAST(sum(derived) AS BIGINT) AS derived_sum,
+       CAST(sum(with_default) AS BIGINT) AS def_sum
 FROM d GROUP BY etype ORDER BY etype
 """,
 )
