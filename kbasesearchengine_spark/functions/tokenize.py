@@ -9,9 +9,13 @@ test/src/kbasesearchengine/test/search/ElasticIndexingStorageTest.java:238-249).
 Spec (FIXTURES.md §3): ``re.findall(r"[a-z0-9_]+", text.lower())`` —
 word characters on lowered text, suited to code-like corpora.
 
-Exposed three ways:
+Exposed four ways:
  - ``tokenize_py``      pure-Python (oracle + unit tests)
- - ``tokenize_udf``     scalar pandas UDF -> array<string>
+ - ``tokenize_expr`` /
+   ``token_count_expr`` JVM Catalyst expressions (split+filter — the hot
+                        path: whole-stage codegen, no Python worker;
+                        equivalence with tokenize_py asserted in pytest)
+ - ``tokenize_udf``     scalar pandas UDF -> array<string> (legacy/interop)
  - ``token_count_udf``  scalar pandas UDF -> int (doc length dl)
  - ``SQL_TOKENIZE``     the equivalent DuckDB/ANSI expression (oracle SQL)
 """
@@ -35,6 +39,25 @@ def tokenize_py(text: str | None) -> list[str]:
     if not text:
         return []
     return _TOKEN_RE.findall(text.lower())
+
+
+def tokenize_expr(col) -> "F.Column":
+    """JVM-side tokenizer: split on non-token runs, drop empties.
+
+    Identical output to tokenize_py (findall of [a-z0-9_]+ on lowered
+    text); null-safe (null text -> empty array). Stays inside whole-stage
+    codegen — the index-build hot path uses this, never per-row Python
+    (north rule input_hint: vectorized UDFs / no per-row Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9_]+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def token_count_expr(col) -> "F.Column":
+    """JVM-side doc length (dl): size of the token array."""
+    return F.size(tokenize_expr(col)).cast("int")
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -68,24 +68,15 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
-def cosine_topk_lsh(
-    emb: DataFrame,
+def probe_buckets(
     query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     n_planes: int = 8,
     probe_hamming: int = 2,
     seed: int = 42,
-) -> DataFrame:
-    """ANN variant: multi-probe the query's LSH bucket (hamming ≤
-    probe_hamming neighbors), exact cosine re-rank inside probed buckets.
-
-    At 100 TB the embeddings table is written partitioned by bucket so this
-    becomes partition pruning; here it is a pushed-down isin filter.
-    """
-    dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes, seed)
+) -> list[int]:
+    """Multi-probe set: the query's signature bucket plus every bucket
+    within `probe_hamming` sign flips."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
     qsig = 0
     qv = np.asarray(query_vec, dtype=np.float64)
     for i, p in enumerate(planes):
@@ -100,6 +91,65 @@ def cosine_topk_lsh(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         )
+    return sorted(int(x) for x in probes)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN variant: multi-probe the query's LSH bucket (hamming ≤
+    probe_hamming neighbors), exact cosine re-rank inside probed buckets.
+
+    This form computes signatures at query time (one full scan) — use
+    write_bucketed + cosine_topk_lsh_indexed for the at-scale path where
+    probing is pure partition pruning.
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probes = probe_buckets(query_vec, n_planes, probe_hamming, seed)
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
-    cand = bucketed.where(F.col("bucket").isin([int(x) for x in probes]))
+    cand = bucketed.where(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def write_bucketed(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embeddings table PARTITIONED BY LSH bucket — the
+    100-TB serving layout: a query probes ≤ 1 + C(p,1) + C(p,2) partition
+    directories (37 of 256 at p=8, hamming ≤ 2) and never scans the rest.
+    Signatures are computed once at write time, JVM-side."""
+    planes = hyperplanes(dim, n_planes, seed)
+    emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def cosine_topk_lsh_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN over a write_bucketed table: the bucket isin predicate is a
+    PARTITION filter (directory pruning — verified by plan assertion in
+    tests), so query cost is proportional to the probed buckets only."""
+    probes = probe_buckets(query_vec, n_planes, probe_hamming, seed)
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -14,7 +14,7 @@ never O(n²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # md5-derived 52-bit hash: identical in Spark and DuckDB, and small enough
@@ -50,19 +50,24 @@ def tokens_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles_df(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct word n-gram shingles as strings."""
-    toks = tokens_df(docs, id_col, text_col)
-    w = Window.partitionBy("id").orderBy("pos")
-    sh = toks
-    parts = [F.col("token")]
-    for i in range(1, n):
-        sh = sh.withColumn(f"_t{i}", F.lead("token", i).over(w))
-        parts.append(F.col(f"_t{i}"))
-    return (
-        sh.where(parts[-1].isNotNull())
-        .select("id", F.concat_ws(" ", *parts).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct word n-gram shingles as strings.
+
+    Array-native: tokens are split JVM-side, shingles come from
+    transform(sequence)+slice INSIDE the row, and per-doc dedup is
+    array_distinct — zero shuffles and zero per-token rows (the previous
+    posexplode + window-lead + distinct plan shuffled one row per token
+    twice). Output rows are already distinct per (id, shingle)."""
+    sh = F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size(_t) - {n} + 1), i -> concat_ws(' ', slice(_t, i, {n}))))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9_]+'), x -> x <> '')"
+        ).alias("_t"),
+    ).select("id", F.explode(sh).alias("shingle"))
 
 
 # ------------------------------------------------------------------- exact
@@ -219,39 +224,64 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 6,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidate generation: split the 60-bit hash into max_hamming+1 chunks —
-    by pigeonhole, any pair within the radius agrees on ≥1 chunk; join per
-    chunk (bounded key space), verify with bit_count(xor)."""
+    Candidate generation is the Manku/Jain/Sarma multi-table pigeonhole
+    (WWW'07 detecting near-duplicates): split the hash into ``n_chunks``
+    pieces; a pair within radius h agrees fully on ≥ n_chunks - h chunks,
+    so it shares at least one of the C(n_chunks, n_chunks-h) chunk
+    COMBINATIONS. Each combination's concatenated value is a join key —
+    with 6 chunks / radius 3 the keys are ~26 bits wide, bounding expected
+    candidates at ~n²/2²⁶ per table (vs n²/2¹³ for the naive
+    (h+1)-chunk split — the difference between feasible and quadratic at
+    10⁹+ docs). n_chunks = max_hamming+1 degenerates to the classic
+    single-chunk scheme. Exact hamming verify on candidates either way.
+    """
+    from itertools import combinations
+
+    assert n_chunks > max_hamming, "need more chunks than the radius"
     sh = simhash64(docs, id_col, text_col)
-    chunks = max_hamming + 1
-    width = HASH_BITS // chunks
-    parts = []
-    for c in range(chunks):
-        parts.append(
-            sh.select(
-                "id",
-                "simhash",
-                F.lit(c).alias("chunk"),
-                (F.shiftrightunsigned(F.col("simhash"), c * width) % (1 << width)).alias(
-                    "ckey"
-                ),
+    base, extra = divmod(HASH_BITS, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunk_val(i):
+        return F.shiftrightunsigned(F.col("simhash"), starts[i]) % (1 << widths[i])
+
+    agree = n_chunks - max_hamming
+    combos = list(combinations(range(n_chunks), agree))
+
+    def combo_key(combo):
+        key = F.lit(0).cast("bigint")
+        for i in combo:
+            key = key * F.lit(1 << widths[i]) + chunk_val(i)
+        return key
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(ci).cast("int").alias("tbl"), combo_key(c).alias("ckey")
             )
-        )
-    allc = parts[0]
-    for p in parts[1:]:
-        allc = allc.unionByName(p)
+            for ci, c in enumerate(combos)
+        ]
+    )
+    allc = sh.select("id", "simhash", F.explode(keys).alias("k")).select(
+        "id", "simhash", F.col("k.tbl").alias("tbl"), F.col("k.ckey").alias("ckey")
+    )
     a = allc.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey"
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "tbl", "ckey"
     )
     b = allc.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey"
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "tbl", "ckey"
     )
     return (
-        a.join(b, ["chunk", "ckey"])
+        a.join(b, ["tbl", "ckey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()

@@ -50,10 +50,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codec import encode_grouped
-from ..functions.tokenize import tokenize_py, token_count_udf
+from ..functions.tokenize import token_count_expr, tokenize_expr
 
 BLOCK_SIZE = 128  # postings per block-max block
-FORMAT_VERSION = 2  # bump on any index layout/schema change
+FORMAT_VERSION = 3  # bump on any index layout/schema change
+# v3: docs/ partitioned by segment (partition-pruned reads; idempotent
+#     incremental adds + merge write-back), terms/ partitioned by batch
+#     (each add contributes its own partition — O(new) increments, global
+#     df aggregated lazily at read time), stats carries max_doc_id/total_dl
 
 POSTING_SCHEMA = (
     "segment int, term string, df int, doc_ids binary, tfs binary, "
@@ -85,8 +89,9 @@ def assign_doc_ids(
     src = df
     if compute_dl:
         # dl computed BEFORE the sort shuffle: the offsets job then yields
-        # N, total_dl (i.e. avgdl) for free — no separate stats pass
-        src = src.withColumn("dl", token_count_udf(F.col(compute_dl)))
+        # N, total_dl (i.e. avgdl) for free — no separate stats pass.
+        # JVM expression (codegen) — no Python worker in this pass.
+        src = src.withColumn("dl", token_count_expr(compute_dl))
     sorted_df = (
         src.repartitionByRange(nump, *key_cols)
         .sortWithinPartitions(*key_cols)
@@ -150,7 +155,7 @@ def build_docs(
     else:
         with_ids = corpus.withColumn(
             "doc_id", F.col(doc_id_col).cast("bigint")
-        ).withColumn("dl", token_count_udf(F.col(text_col)))
+        ).withColumn("dl", token_count_expr(text_col))
         n_docs = with_ids.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
     docs = (
@@ -162,10 +167,17 @@ def build_docs(
 
 def compute_stats(docs: DataFrame) -> dict:
     row = docs.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        F.max("doc_id").alias("max_doc_id"),
     ).collect()[0]
     n = int(row["n_docs"])
-    return {"n_docs": n, "avgdl": (row["total_dl"] or 0) / n if n else 0.0}
+    return {
+        "n_docs": n,
+        "avgdl": (row["total_dl"] or 0) / n if n else 0.0,
+        "total_dl": int(row["total_dl"] or 0),
+        "max_doc_id": int(row["max_doc_id"]) if row["max_doc_id"] is not None else -1,
+    }
 
 
 # ---------------------------------------------------------------- tokens
@@ -174,21 +186,25 @@ def compute_stats(docs: DataFrame) -> dict:
 def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, segment, term, tf, dl) — tf aggregated inside the Arrow
     batch, so the shuffle moves one row per distinct (doc, term), not one
-    per token occurrence (map-side combine before the exchange)."""
-    src = docs.select("doc_id", "segment", "dl", F.col(text_col).alias("_text"))
+    per token occurrence (map-side combine before the exchange).
+
+    Tokenization happens JVM-side (tokenize_expr, whole-stage codegen);
+    the Arrow boundary carries pre-split token arrays and Python only does
+    whole-array numpy aggregation — no per-row Python (input_hint)."""
+    src = docs.select(
+        "doc_id", "segment", "dl", tokenize_expr(text_col).alias("_toks")
+    )
 
     def explode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks_list = [tokenize_py(t) for t in pdf["_text"]]
+            toks_list = pdf["_toks"]  # Series of numpy object arrays
             lens = np.fromiter(
                 (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
             )
             if lens.sum() == 0:
                 continue
             ridx = np.repeat(np.arange(len(toks_list)), lens)
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks_list if t]
-            )
+            flat = np.concatenate([t for t in toks_list if len(t)])
             # integer-key tf aggregation: factorize terms once, then one
             # np.unique over composite (row, term) int64 keys — no object
             # hashing in the group step
@@ -327,6 +343,13 @@ def build_postings_from_docs(
         src = src.repartitionByRange(nump, "segment", "doc_id").sortWithinPartitions(
             "segment", "doc_id"
         )
+    # tokenize JVM-side (codegen'd split+filter) AFTER the shuffle — raw
+    # text moves over the exchange, not token arrays; the Arrow boundary
+    # then carries pre-split tokens and the Python kernel is whole-array
+    # numpy only (no per-row Python, per the north rule)
+    src = src.select(
+        "doc_id", "segment", "dl", tokenize_expr("_text").alias("_toks")
+    )
 
     FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.7 GB arrays)
 
@@ -371,16 +394,14 @@ def build_postings_from_docs(
         seg_l, doc_l, dl_l, tf_l, term_l = [], [], [], [], []
         pending = 0
         for pdf in batches:
-            toks_list = [tokenize_py(t) for t in pdf["_text"]]
+            toks_list = pdf["_toks"]  # Series of numpy object arrays
             lens = np.fromiter(
                 (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
             )
             if lens.sum() == 0:
                 continue
             ridx = np.repeat(np.arange(len(toks_list)), lens)
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks_list if t]
-            )
+            flat = np.concatenate([t for t in toks_list if len(t)])
             codes, uniq_terms = pd.factorize(flat, sort=False)
             key = ridx * np.int64(len(uniq_terms)) + codes
             ukey, counts = np.unique(key, return_counts=True)
@@ -489,10 +510,14 @@ class IndexBuilder:
             # doc_id order, so the posting build can run on it directly —
             # no docs re-read and no second shuffle
             cached_docs = docs.persist()
-            cached_docs.write.mode("overwrite").parquet(docs_path)
+            cached_docs.write.mode("overwrite").partitionBy("segment").parquet(
+                docs_path
+            )
             if total_dl is not None:
                 stats = {"n_docs": n_docs,
-                         "avgdl": total_dl / n_docs if n_docs else 0.0}
+                         "avgdl": total_dl / n_docs if n_docs else 0.0,
+                         "total_dl": int(total_dl),
+                         "max_doc_id": n_docs - 1}
             else:
                 stats = compute_stats(cached_docs)
             stats["num_segments"] = self.num_segments
@@ -518,14 +543,8 @@ class IndexBuilder:
             for g in range(0, n_segments, self.segments_per_commit)
         ]
         postings_path = os.path.join(self.index_dir, "postings")
-        built = 0
-        for gi, segs in enumerate(groups):
-            name = f"group-{gi}"
-            if resume and self.has_marker(name):
-                continue
-            if max_groups is not None and built >= max_groups:
-                raise RuntimeError("fault injection: killed mid-build")
-            built += 1
+
+        def build_group(gi: int, segs: list[int]) -> None:
             t0 = time.time()
             lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
             part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
@@ -539,38 +558,114 @@ class IndexBuilder:
             postings.write.mode("overwrite").partitionBy("segment").parquet(
                 postings_path
             )
-            written = spark.read.parquet(postings_path).where(
-                F.col("segment").isin([int(s) for s in segs])
+            # metrics: column-pruned (segment, df) scan for counts + raw
+            # file sizes from the partition dirs — never re-decodes the
+            # posting payload bytes it just wrote
+            m = (
+                spark.read.parquet(postings_path)
+                .where(F.col("segment").isin([int(s) for s in segs]))
+                .agg(F.count("*").alias("rows"), F.sum("df").alias("postings"))
+                .collect()[0]
             )
-            m = written.agg(
-                F.count("*").alias("rows"),
-                F.sum("df").alias("postings"),
-                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias(
-                    "bytes"
-                ),
-            ).collect()[0]
+            nbytes = 0
+            for s in segs:
+                seg_dir = os.path.join(postings_path, f"segment={s}")
+                if os.path.isdir(seg_dir):
+                    nbytes += sum(
+                        e.stat().st_size
+                        for e in os.scandir(seg_dir)
+                        if e.is_file() and not e.name.startswith((".", "_"))
+                    )
             self.write_marker(
-                name,
+                f"group-{gi}",
                 {
                     "segments": segs,
                     "rows": int(m["rows"] or 0),
                     "postings": int(m["postings"] or 0),
-                    "bytes": int(m["bytes"] or 0),
+                    "bytes": nbytes,
                     "seconds": time.time() - t0,
                 },
             )
 
+        pending = [
+            (gi, segs)
+            for gi, segs in enumerate(groups)
+            if not (resume and self.has_marker(f"group-{gi}"))
+        ]
+        if max_groups is not None:
+            # fault-injection path (resume tests): serial, deterministic
+            for built, (gi, segs) in enumerate(pending):
+                if built >= max_groups:
+                    raise RuntimeError("fault injection: killed mid-build")
+                build_group(gi, segs)
+        elif len(pending) == 1:
+            build_group(*pending[0])
+        elif pending:
+            # commit groups CONCURRENTLY: each group's job only has real
+            # work in ~1/len(groups) of the docs partitions (contiguous
+            # doc ranges), so serial groups would idle most executor slots
+            # between barriers; concurrent submission keeps the pool full
+            # while preserving per-group lineage markers (each group still
+            # commits + checkpoints independently — a kill loses only
+            # in-flight groups). Disjoint segment partitions ⇒ dynamic
+            # partition overwrites never conflict.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(pending), 8)) as ex:
+                futures = [ex.submit(build_group, gi, segs) for gi, segs in pending]
+                for f in futures:
+                    f.result()  # surface the first failure
+
         if not (resume and self.has_marker("terms")):
             t0 = time.time()
             postings = spark.read.parquet(postings_path)
-            terms = build_terms(postings)
-            terms.write.mode("overwrite").parquet(os.path.join(self.index_dir, "terms"))
+            # batch=0 partition: incremental adds later contribute their own
+            # batch partitions (O(new) increments); readers aggregate df
+            # across batches lazily (InvertedIndex.terms)
+            terms = build_terms(postings).withColumn("batch", F.lit(0))
+            terms.write.mode("overwrite").partitionBy("batch").parquet(
+                os.path.join(self.index_dir, "terms")
+            )
             self.write_marker("terms", {"seconds": time.time() - t0})
 
         if cached_docs is not None:
             cached_docs.unpersist()
         stats["build_seconds"] = time.time() - t_all
         return stats
+
+
+# ---------------------------------------------------------------- field index
+
+
+def build_field_index(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    num_segments: int | None = None,
+    drop_cols: tuple = (),
+) -> str:
+    """Per-field postings (P5): a sub-index over one column of the primary
+    docs table, with its OWN df/avgdl statistics — the reference matches on
+    `oname` separately from `_all` (ElasticIndexingStorage.java:1381-1383),
+    i.e. Lucene's per-field posting lists + per-field norms.
+
+    doc_ids are shared with the primary index (read straight from the
+    primary docs table), so results join/hydrate against primary docs with
+    no translation. Layout: <index_dir>/fields/<field>/{docs,postings,
+    terms,stats.json} — same format, same readers, same resume protocol.
+    The sub-docs table keeps metadata columns (doc_filter predicates work
+    field-scoped) but drops the primary text payload.
+    """
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        primary = json.load(f)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).drop(
+        "dl", "sha256", "segment", *drop_cols
+    )
+    sub_dir = os.path.join(index_dir, "fields", field)
+    nseg = num_segments or primary.get("num_segments", 16)
+    b = IndexBuilder(spark, sub_dir, num_segments=nseg, segments_per_commit=nseg)
+    b.build(docs, key_cols=["doc_id"], text_col=field, doc_id_col="doc_id")
+    return sub_dir
 
 
 # ----------------------------------------------------------------增 incremental
@@ -582,47 +677,110 @@ def add_documents(
     new_corpus: DataFrame,
     key_cols: list[str],
     text_col: str = "content",
+    batch_id: str | None = None,
 ) -> dict:
     """Incremental add (M6 / NEW_VERSION events): index new docs as NEW
-    segments appended after the current max doc_id.
+    segments appended after the committed max doc_id.
 
-    The scoring stats (N, avgdl, df) are updated; existing postings are
-    untouched (immutable segments, the Lucene model) — the merge stage
-    (operators/merge.py) consolidates small incremental segments later.
+    O(new) by construction — existing postings/docs/terms files are never
+    re-read or rewritten:
+      docs     -> dynamic-overwrite of the NEW segment partitions only
+      postings -> dynamic-overwrite of the NEW segment partitions only
+      terms    -> this add's df contribution written to its own
+                  terms/batch=<first_new_seg> partition (readers aggregate
+                  lazily); no global term-dictionary rebuild
+      stats    -> arithmetic update from (n_new, total_dl_new)
+
+    Crash safety: every data write is an idempotent dynamic partition
+    overwrite keyed off the COMMITTED stats (start_id), so re-running a
+    failed add rewrites the same partitions. The completion marker
+    `add-<key>` is written after the data commits and before the stats
+    update; if a previous run died between marker and stats, the stats
+    update is completed from the marker payload first. Pass `batch_id`
+    (an idempotence token, e.g. the event batch id) for exactly-once
+    semantics across retries of the same logical add.
+
     Note: BM25 idf/avgdl change with N, so scores shift corpus-wide by
-    design (same as ES refresh semantics).
+    design (same as ES refresh semantics). The merge stage
+    (operators/merge.py) consolidates small incremental segments later.
     """
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
+    def _load_stats() -> dict:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            return json.load(f)
+
+    def _commit_stats(stats: dict) -> None:
+        tmp = os.path.join(index_dir, "stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(index_dir, "stats.json"))
+
+    stats = _load_stats()
     seg_size = stats["seg_size"]
-    base_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    start_id = base_docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    lineage = IndexBuilder(spark, index_dir)
+
+    def _finish(marker: dict) -> dict:
+        # data committed by a previous (or this) run; roll the stats forward
+        if stats.get("max_doc_id", -1) < marker["max_doc_id"]:
+            stats["n_docs"] += marker["n_new"]
+            stats["total_dl"] = stats.get("total_dl", 0) + marker["total_dl_new"]
+            stats["avgdl"] = stats["total_dl"] / stats["n_docs"]
+            stats["max_doc_id"] = marker["max_doc_id"]
+            _commit_stats(stats)
+        return {"added": marker["n_new"],
+                "first_segment": marker["first_segment"],
+                "n_docs": stats["n_docs"], "avgdl": stats["avgdl"]}
+
     # new ids continue the dense sequence; new segments start on a fresh
     # boundary so they never straddle existing ones
-    first_new_seg = math.ceil(start_id / seg_size)
+    first_new_seg = math.ceil((stats.get("max_doc_id", -1) + 1) / seg_size)
     start_id = first_new_seg * seg_size
+    marker_name = f"add-{batch_id or start_id}"
+    prev = lineage.read_marker(marker_name)
+    if prev is not None:
+        out = _finish(prev)
+        if batch_id is not None:
+            return out  # exactly-once: this logical add already applied
+        # no token: previous add at this start_id committed but its stats
+        # were just rolled forward — recompute the boundary and continue
+        first_new_seg = math.ceil((stats["max_doc_id"] + 1) / seg_size)
+        start_id = first_new_seg * seg_size
+        marker_name = f"add-{start_id}"
 
-    with_ids, n_new, _ = assign_doc_ids(new_corpus, key_cols)
+    with_ids, n_new, total_dl_new = assign_doc_ids(
+        new_corpus, key_cols, compute_dl=text_col
+    )
+    if n_new == 0:
+        return {"added": 0, "first_segment": first_new_seg,
+                "n_docs": stats["n_docs"], "avgdl": stats.get("avgdl", 0.0)}
     docs = (
         with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(start_id))
         .withColumn("sha256", F.sha2(F.col(text_col), 256))
-        .withColumn("dl", token_count_udf(F.col(text_col)))
         .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
-    )
-    docs.write.mode("append").parquet(os.path.join(index_dir, "docs"))
+    ).persist()
 
-    all_docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    new_stats = compute_stats(all_docs)
-    stats.update(new_stats)
-
-    new_docs = all_docs.where(F.col("doc_id") >= start_id)
-    postings = build_postings_from_docs(new_docs, text_col)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs.write.mode("overwrite").partitionBy("segment").parquet(
+        os.path.join(index_dir, "docs")
+    )
+    postings = build_postings_from_docs(docs, text_col, pre_partitioned=True)
     postings.write.mode("overwrite").partitionBy("segment").parquet(
         os.path.join(index_dir, "postings")
     )
-    terms = build_terms(spark.read.parquet(os.path.join(index_dir, "postings")))
-    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
-    return {"added": n_new, "first_segment": first_new_seg, **new_stats}
+    new_terms = build_terms(
+        spark.read.parquet(os.path.join(index_dir, "postings")).where(
+            F.col("segment") >= first_new_seg
+        )
+    ).withColumn("batch", F.lit(int(first_new_seg)))
+    new_terms.write.mode("overwrite").partitionBy("batch").parquet(
+        os.path.join(index_dir, "terms")
+    )
+    docs.unpersist()
+
+    marker = {
+        "n_new": n_new,
+        "total_dl_new": int(total_dl_new or 0),
+        "first_segment": first_new_seg,
+        "max_doc_id": start_id + n_new - 1,
+    }
+    lineage.write_marker(marker_name, marker)
+    return _finish(marker)

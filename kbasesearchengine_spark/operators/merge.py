@@ -91,6 +91,85 @@ def merge_postings(
     return keep.unionByName(merged)
 
 
+def merge_docs(docs: DataFrame, seg_map: Mapping[int, int]) -> DataFrame:
+    """Rewrite the docs table's segment column under the same remapping —
+    postings and docs MUST move together or the per-segment cogroup in
+    topk (doc_filter path) pairs postings with empty allowed lists and
+    filtered results silently vanish."""
+    map_expr = F.create_map(*[F.lit(x) for kv in seg_map.items() for x in kv])
+    return docs.withColumn(
+        "segment",
+        F.coalesce(map_expr[F.col("segment")], F.col("segment")).cast("int"),
+    )
+
+
+def apply_merge(
+    spark, index_dir: str, seg_map: Mapping[int, int]
+) -> dict:
+    """Apply a segment merge to an on-disk index: rewrite the affected
+    postings AND docs partitions consistently, drop the emptied source
+    partitions, and record the mapping in lineage.
+
+    Only partitions named in seg_map are read (partition pruning) or
+    written (dynamic overwrite) — cost is O(merged segments), not O(index).
+    At 100 TB this is the Lucene background-merge analog: many small
+    incremental segments -> few big ones, bounded I/O per merge round.
+    """
+    import json
+    import os
+    import shutil
+
+    from .indexer import IndexBuilder
+
+    seg_map = {int(k): int(v) for k, v in seg_map.items()}
+    sources = [s for s, t in seg_map.items() if s != t]
+    targets = sorted({t for t in seg_map.values()})
+    if not sources:
+        return {"merged": 0, "targets": []}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    postings_path = os.path.join(index_dir, "postings")
+    docs_path = os.path.join(index_dir, "docs")
+    affected = sorted(seg_map)
+
+    # Spark refuses to overwrite a path it is reading from — stage the
+    # rewritten partitions through a scratch dir, then dynamic-overwrite
+    tmp = os.path.join(index_dir, "_merge_tmp")
+
+    postings = spark.read.parquet(postings_path).where(
+        F.col("segment").isin(affected)
+    )
+    merged = merge_postings(postings, seg_map)
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
+    spark.read.parquet(os.path.join(tmp, "postings")).write.mode(
+        "overwrite"
+    ).partitionBy("segment").parquet(postings_path)
+
+    docs = spark.read.parquet(docs_path).where(F.col("segment").isin(affected))
+    merge_docs(docs, seg_map).write.mode("overwrite").parquet(
+        os.path.join(tmp, "docs")
+    )
+    spark.read.parquet(os.path.join(tmp, "docs")).write.mode(
+        "overwrite"
+    ).partitionBy("segment").parquet(docs_path)
+
+    # drop emptied source partitions (at scale: a metastore/Iceberg
+    # drop-partition; local fs here)
+    for base in (postings_path, docs_path):
+        for s in sources:
+            d = os.path.join(base, f"segment={s}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    IndexBuilder(spark, index_dir).write_marker(
+        f"merge-{min(sources)}-{max(sources)}",
+        {"seg_map": {str(k): v for k, v in seg_map.items()},
+         "sources": sources, "targets": targets},
+    )
+    return {"merged": len(sources), "targets": targets}
+
+
 def plan_merges(
     segment_sizes: Mapping[int, int], target_size: int
 ) -> dict[int, int]:

@@ -76,11 +76,32 @@ class InvertedIndex:
 
     @property
     def terms(self) -> DataFrame:
-        return self._tbl("terms")
+        """Global term dictionary (term, df). Each incremental add writes
+        its df contribution to its own terms/batch=N partition (O(new)
+        commits); the global df is the lazy sum — a term-filter predicate
+        pushes below this aggregate to the parquet scan (grouping-key
+        pushdown), so point lookups stay pruned."""
+        t = self._tbl("terms")
+        if "batch" in t.columns:
+            t = t.groupBy("term").agg(F.sum("df").alias("df"))
+        return t
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         rows = self.terms.where(F.col("term").isin(terms)).collect()
         return {r["term"]: int(r["df"]) for r in rows}
+
+    def field_index(self, field: str) -> "InvertedIndex":
+        """Field-scoped sub-index (P5): per-field postings + per-field
+        BM25 stats under <index_dir>/fields/<field> (built by
+        indexer.build_field_index); doc_ids shared with the primary."""
+        key = f"field:{field}"
+        if key not in self._dfs:
+            # memoize the handle object itself on the dfs dict (same
+            # lifecycle: dropped on refresh())
+            self._dfs[key] = InvertedIndex(
+                self.spark, os.path.join(self.index_dir, "fields", field)
+            )
+        return self._dfs[key]
 
 
 # ------------------------------------------------------- segment-local kernel

@@ -65,6 +65,11 @@ def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             doc_id_col="doc_id",
             resume=True,
         )
+        # P5: field-scoped sub-index over `source` with its own BM25 stats
+        # (resumable/no-op on re-entry via the same marker protocol)
+        from ..operators.indexer import build_field_index
+
+        build_field_index(spark, idx_dir, "source", drop_cols=("text",))
         _INDEX_CACHE[key] = idx_dir
     return InvertedIndex(spark, _INDEX_CACHE[key])
 
@@ -84,14 +89,15 @@ def _ranked(df: DataFrame) -> DataFrame:
 
 
 def _bm25_oracle(
-    query: str, k: int = 10, mode: str = "and", filter_sql: str = "TRUE"
+    query: str, k: int = 10, mode: str = "and", filter_sql: str = "TRUE",
+    col: str = "text",
 ) -> str:
     terms = sorted(set(tokenize_py(query)))
     tlist = ",".join(f"'{t}'" for t in terms)
     and_clause = f"nt = {len(terms)}" if mode == "and" else "TRUE"
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  SELECT doc_id, unnest(regexp_extract_all(lower({col}), '[a-z0-9_]+')) AS term
   FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -365,6 +371,19 @@ def ft_exists_filter(spark, sf_dir):
             F.count("*").alias("with_source"),
             F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("long_docs"),
         )
+    )
+
+
+@q("ft_match_field", _bm25_oracle("src3 src5", 10, "or", col="source"))
+def ft_match_field(spark, sf_dir):
+    """Field-scoped match (P5): BM25 against the `source` field's OWN
+    postings and df/avgdl statistics — the reference's per-field match
+    (oname vs _all, ElasticIndexingStorage.java:1381-1383). Every doc has
+    dl=1 here, so scores tie within a source value and the pinned
+    deterministic tie-break (doc_id asc) carries the ranking."""
+    index = get_index(spark, sf_dir)
+    return _ranked(
+        topk(index.field_index("source"), "src3 src5", 10, "or", hydrate=False)
     )
 
 
@@ -1048,6 +1067,84 @@ def api_relevance_page2(spark, sf_dir):
         (F.row_number().over(w) + 10).cast("bigint").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@q(
+    "api_search_types",
+    """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+           '[a-z0-9_]+'))) AS term FROM documents) t
+  WHERE term = 'dup'
+)
+SELECT d.lang AS type, count(*) AS "count" FROM documents d
+JOIN m USING (doc_id) GROUP BY d.lang ORDER BY d.lang
+""",
+)
+def api_search_types(spark, sf_dir):
+    """search_types through the facade itself (G1 via SearchMethods
+    surface) — type histogram of a full-text match, size 0."""
+    from .search import MatchFilter, search_types
+
+    index = get_index(spark, sf_dir)
+    return search_types(index, MatchFilter(full_text="dup")).orderBy("type")
+
+
+@q(
+    "api_get_objects",
+    """
+SELECT doc_id, lang, n_chars, sha256(text) AS sha256 FROM documents
+WHERE doc_id IN (5, 10, 99, 250) ORDER BY doc_id
+""",
+)
+def api_get_objects(spark, sf_dir):
+    """get_objects through the facade (J2): GUID-list hydration with the
+    sha256 content invariant carried on the docs table."""
+    from .search import get_objects
+
+    index = get_index(spark, sf_dir)
+    return (
+        get_objects(index, [5, 10, 99, 250])
+        .select("doc_id", "lang", "n_chars", "sha256")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "api_ids_only",
+    """
+SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 25
+""",
+)
+def api_ids_only(spark, sf_dir):
+    """ids-only projection (P10 _source: [guid]) + default non-relevance
+    sort (O2: doc_id asc when no sort given) through the facade."""
+    from .search import MatchFilter, Pagination, PostProcessing, search_objects
+
+    index = get_index(spark, sf_dir)
+    return search_objects(
+        index,
+        MatchFilter(term_eq={"lang": "de"}),
+        pagination=Pagination(0, 25),
+        post=PostProcessing(ids_only=True),
+    )
+
+
+@q("api_match_field", _bm25_oracle("src1", 5, "and", col="source"))
+def api_match_field(spark, sf_dir):
+    """Field-scoped match THROUGH the facade (P5 + relevance sort +
+    pagination): MatchFilter(field='source')."""
+    from .search import MatchFilter, Pagination, SortingRule, search_objects
+
+    index = get_index(spark, sf_dir)
+    out = search_objects(
+        index,
+        MatchFilter(full_text="src1", field="source"),
+        sorting=[SortingRule("relevance")],
+        pagination=Pagination(0, 5),
+    )
+    return _ranked(out.select("doc_id", "score"))
 
 
 @q(

@@ -21,7 +21,8 @@ SortingRule(key='relevance').
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from dataclasses import field as dc_field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -33,10 +34,14 @@ from ..operators.topk import InvertedIndex, topk
 class MatchFilter:
     full_text: str | None = None
     full_text_mode: str = "and"  # reference uses operator:"and"
-    term_eq: dict[str, object] = field(default_factory=dict)  # P1
-    term_in: dict[str, list] = field(default_factory=dict)  # P2
-    term_not_in: dict[str, list] = field(default_factory=dict)  # P11
-    ranges: dict[str, tuple] = field(default_factory=dict)  # P3 (lo, hi), either None
+    # P5 field-scoped match: score against one indexed field's own
+    # postings/stats (the reference's oname-vs-_all distinction,
+    # ElasticIndexingStorage.java:1381-1383); None = the _all analog
+    field: str | None = None
+    term_eq: dict[str, object] = dc_field(default_factory=dict)  # P1
+    term_in: dict[str, list] = dc_field(default_factory=dict)  # P2
+    term_not_in: dict[str, list] = dc_field(default_factory=dict)  # P11
+    ranges: dict[str, tuple] = dc_field(default_factory=dict)  # P3 (lo, hi), either None
 
 
 @dataclass
@@ -97,8 +102,9 @@ def search_objects(
 
     if match.full_text:
         need = pagination.start + pagination.count
+        scoring = index.field_index(match.field) if match.field else index
         scored = topk(
-            index,
+            scoring,
             match.full_text,
             k=need if relevance else None,
             mode=match.full_text_mode,
@@ -148,8 +154,9 @@ def search_types(
     """Count matching docs per type, size 0 (G1)."""
     pred = _predicate(match)
     if match.full_text:
+        scoring = index.field_index(match.field) if match.field else index
         scored = topk(
-            index, match.full_text, k=None, mode=match.full_text_mode,
+            scoring, match.full_text, k=None, mode=match.full_text_mode,
             doc_filter=pred, hydrate=False,
         )
         docs = index.docs.join(scored.select("doc_id"), "doc_id", "left_semi")

@@ -6,8 +6,9 @@ Reference semantics preserved (SURVEY §2.11):
  - dedup by event_id        (EventQueue.java:86-99)
  - per-object timestamp order (ObjectEventQueue.java:42-49) — resolved by a
    window, not a blocking queue
- - NEW_VERSION / DELETE / RENAME ops (StatusEventType.java:3-19, reduced to
-   the code-corpus set per FIXTURES.md §5)
+ - NEW_VERSION / DELETE / UNDELETE / RENAME ops (StatusEventType.java:3-19;
+   undelete restores the last pre-delete version per the reference's
+   undeleteAllVersions, ElasticIndexingStorage.java:918-953)
  - islast visibility: queries see only the latest surviving version
    (ElasticIndexingStorage.java:588-622; soft-delete tombstones per M8)
  - idempotence: replaying the same batch twice is a no-op
@@ -33,22 +34,31 @@ DOC_KEY = ["repo", "path"]
 def events_to_version_rows(events: DataFrame) -> DataFrame:
     """Expand events into versioned doc rows (E5 expansion analog).
 
-    NEW_VERSION -> live row; DELETE -> tombstone; RENAME -> tombstone at
-    the old path + live row at the new path (new path in `content`-carrying
-    columns; the rename payload reuses commit/lang/content).
-    Dedup by event_id first (idempotent replay).
+    NEW_VERSION -> live row; DELETE -> tombstone; UNDELETE -> visibility
+    marker (content-less live row: the latest content row becomes visible
+    again — M8, ElasticIndexingStorage.java:918-953); RENAME -> tombstone
+    at the old path + live row at the new path (new path in
+    `content`-carrying columns; the rename payload reuses
+    commit/lang/content). Dedup by event_id first (idempotent replay).
     """
     ev = events.dropDuplicates(["event_id"])
     new_v = ev.where(F.col("op") == "NEW_VERSION").select(
         "repo", "path", "commit", "lang", "content",
         F.col("ts"), F.lit(False).alias("tombstone"), F.col("event_id"),
     )
-    delete = ev.where(F.col("op") == "DELETE").select(
+    delete = ev.where(F.col("op").isin("DELETE")).select(
         "repo", "path",
         F.lit(None).cast("string").alias("commit"),
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("content"),
         F.col("ts"), F.lit(True).alias("tombstone"), F.col("event_id"),
+    )
+    undelete = ev.where(F.col("op") == "UNDELETE").select(
+        "repo", "path",
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.col("ts"), F.lit(False).alias("tombstone"), F.col("event_id"),
     )
     # RENAME: `commit` column carries the new path for rename events
     ren = ev.where(F.col("op") == "RENAME")
@@ -65,7 +75,12 @@ def events_to_version_rows(events: DataFrame) -> DataFrame:
         "lang", "content",
         F.col("ts"), F.lit(False).alias("tombstone"), F.col("event_id"),
     )
-    return new_v.unionByName(delete).unionByName(ren_old).unionByName(ren_new)
+    return (
+        new_v.unionByName(delete)
+        .unionByName(undelete)
+        .unionByName(ren_old)
+        .unionByName(ren_new)
+    )
 
 
 def apply_events(state: DataFrame, events: DataFrame) -> DataFrame:
@@ -102,15 +117,29 @@ def initial_state(corpus: DataFrame, ts: int = 0) -> DataFrame:
 
 
 def visible_docs(state: DataFrame) -> DataFrame:
-    """islast view: per (repo, path), the latest row by (ts, event_id)
-    wins; tombstoned keys disappear (G4/M1/M8 semantics)."""
+    """islast view (G4/M1/M8): per (repo, path), visibility is decided by
+    the LATEST row (tombstone -> hidden; anything else -> shown), and the
+    shown content is the latest CONTENT row — so DELETE then UNDELETE
+    restores the last pre-delete version, matching the reference's
+    undeleteAllVersions. One window pass; content resolution rides the
+    same partitioning."""
     w = Window.partitionBy(*DOC_KEY).orderBy(
         F.desc("ts"), F.desc_nulls_last("event_id")
     )
-    return (
-        state.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (~F.col("tombstone")))
-        .drop("_rn", "tombstone", "event_id")
+    ranked = state.withColumn("_rn", F.row_number().over(w))
+    visible_keys = ranked.where((F.col("_rn") == 1) & (~F.col("tombstone"))).select(
+        *DOC_KEY
+    )
+    wc = Window.partitionBy(*DOC_KEY).orderBy(
+        F.desc("ts"), F.desc_nulls_last("event_id")
+    )
+    latest_content = (
+        state.where((~F.col("tombstone")) & F.col("content").isNotNull())
+        .withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") == 1)
+    )
+    return latest_content.join(visible_keys, DOC_KEY, "left_semi").drop(
+        "_rn", "tombstone", "event_id"
     )
 
 
