@@ -42,22 +42,30 @@ def tokenize_py(text: str | None) -> list[str]:
 
 
 def tokenize_expr(col) -> "F.Column":
-    """JVM-side tokenizer: split on non-token runs, drop empties.
+    """JVM-side tokenizer: regexp_extract_all of the token pattern —
+    findall semantics, IDENTICAL to tokenize_py by construction; null-safe
+    (null text -> empty array). Stays inside whole-stage codegen — the
+    index-build hot path uses this, never per-row Python (north rule
+    input_hint).
 
-    Identical output to tokenize_py (findall of [a-z0-9_]+ on lowered
-    text); null-safe (null text -> empty array). Stays inside whole-stage
-    codegen — the index-build hot path uses this, never per-row Python
-    (north rule input_hint: vectorized UDFs / no per-row Python)."""
+    Measured note (this container, Spark 4.1): split(lower(x),
+    '[^a-z0-9_]+') is ~11x SLOWER than regexp_extract_all on multi-KB
+    documents (31s vs 2.7s over 177 MB at 32 cores) — never tokenize via
+    the negated-class split."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9_]+"),
-        lambda x: x != F.lit(""),
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(TOKEN_PATTERN), 0
     )
 
 
 def token_count_expr(col) -> "F.Column":
-    """JVM-side doc length (dl): size of the token array."""
-    return F.size(tokenize_expr(col)).cast("int")
+    """JVM-side doc length (dl): regexp_count of the token pattern — no
+    array materialization at all (0.7s vs 31s for size(split(...)) on the
+    same 177 MB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(TOKEN_PATTERN)
+    ).cast("int")
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

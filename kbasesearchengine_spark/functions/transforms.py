@@ -30,11 +30,19 @@ from pyspark.sql import functions as F
 @dataclass
 class Rule:
     name: str                      # output column (the "key")
-    path: str | None = None        # source column, or $.json.path into json_col
+    path: str | None = None        # source column, "$.json.path" into
+                                   # json_col, or "col/json/path" into col
     source_key: str | None = None  # T8: consume another rule's output
-    transform: str = "string"      # string|integer|double|boolean|values|size|location.<part>
+    transform: str = "string"      # string|integer|double|boolean|values|size|json_size|location.<part>
     default: object = None         # T7 optional-default-value
     not_indexed: bool = False      # T9: kept on docs, excluded from postings
+    expr: str | None = None        # T8 derived computation: a Spark SQL
+                                   # expression over prior rule outputs
+                                   # (e.g. "k_val * 2"); evaluated before
+                                   # the transform cast
+    full_text: bool = False        # spec full-text flag: field gets its own
+                                   # BM25 postings (P5) instead of keyword
+                                   # semantics
 
 
 class RuleCycleError(ValueError):
@@ -70,12 +78,20 @@ def _toposort(rules: list[Rule]) -> list[Rule]:
 
 
 def _source_expr(r: Rule, json_col: str | None) -> Column:
+    if r.expr is not None:
+        return F.expr(r.expr)
     if r.source_key is not None:
         return F.col(r.source_key)
     assert r.path is not None, f"rule {r.name}: needs path or source_key"
     if r.path.startswith("$.") or r.path.startswith("$["):
         assert json_col, f"rule {r.name}: JSON path needs json_col"
         return F.get_json_object(F.col(json_col), r.path)
+    if "/" in r.path:
+        # spec-style path (typespec): first segment is a column, the rest
+        # digs into its JSON payload (reference path semantics,
+        # ObjectTypeParsingRulesFileParser / ObjectJsonPath)
+        seg0, *rest = r.path.split("/")
+        return F.get_json_object(F.col(seg0), "$." + ".".join(rest))
     return F.col(r.path)
 
 
@@ -93,6 +109,8 @@ def _apply_transform(col: Column, r: Rule) -> Column:
         return F.flatten(col)
     if t == "size":  # G2 {size}: cardinality instead of contents
         return F.size(col).cast("bigint")
+    if t == "json_size":  # G2 {size} over a JSON-path source (array length)
+        return F.json_array_length(col).cast("bigint")
     if t.startswith("location."):
         # tuple [contig_id, start, strand, length]; strand-dependent
         # arithmetic per KeywordParser.java:344-359

@@ -40,9 +40,7 @@ def tokens_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.expr(
-                f"filter(split(lower({text_col}), '[^a-z0-9_]+'), x -> x <> '')"
-            )
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
         ).alias("pos", "token"),
     )
 
@@ -65,7 +63,7 @@ def shingles_df(
     return docs.select(
         F.col(id_col).alias("id"),
         F.expr(
-            f"filter(split(lower({text_col}), '[^a-z0-9_]+'), x -> x <> '')"
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
         ).alias("_t"),
     ).select("id", F.explode(sh).alias("shingle"))
 

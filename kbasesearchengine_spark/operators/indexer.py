@@ -86,18 +86,17 @@ def assign_doc_ids(
     """
     spark = df.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
-    src = df
-    if compute_dl:
-        # dl computed BEFORE the sort shuffle: the offsets job then yields
-        # N, total_dl (i.e. avgdl) for free — no separate stats pass.
-        # JVM expression (codegen) — no Python worker in this pass.
-        src = src.withColumn("dl", token_count_expr(compute_dl))
-    sorted_df = (
-        src.repartitionByRange(nump, *key_cols)
-        .sortWithinPartitions(*key_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    sorted_df = df.repartitionByRange(nump, *key_cols).sortWithinPartitions(
+        *key_cols
     )
+    if compute_dl:
+        # dl computed AFTER the range shuffle (the partitioner's sampling
+        # job re-executes the pre-shuffle plan — anything expensive there
+        # runs twice) but INSIDE the persisted frame: the offsets job then
+        # yields N and total_dl (avgdl) for free — no separate stats pass.
+        # JVM regexp_count (codegen) — no Python worker in this pass.
+        sorted_df = sorted_df.withColumn("dl", token_count_expr(compute_dl))
+    sorted_df = sorted_df.withColumn("_pid", F.spark_partition_id()).persist()
     aggs = [F.count("*").alias("cnt")]
     if compute_dl:
         aggs.append(F.sum("dl").alias("sdl"))

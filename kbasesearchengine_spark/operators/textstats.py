@@ -21,7 +21,9 @@ LANG_PROFILES = {
 
 
 def _tokens_expr(text_col: str):
-    return F.expr(f"filter(split(lower({text_col}), '[^a-z0-9_]+'), x -> x <> '')")
+    # regexp_extract_all, NOT filter(split(...)): the negated-class split
+    # is ~11x slower in the JVM on multi-KB docs (see functions/tokenize.py)
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
 
 
 def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -31,10 +33,10 @@ def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     digits/identifiers apart), the whitespace count = raw fields."""
     return docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")).alias(
-            "n_tokens_ws"
+        F.expr(f"regexp_count({text_col}, '\\\\S+')").alias("n_tokens_ws"),
+        F.expr(f"regexp_count(lower({text_col}), '[a-z0-9_]+')").alias(
+            "n_tokens_word"
         ),
-        F.size(_tokens_expr(text_col)).alias("n_tokens_word"),
     )
 
 
@@ -51,7 +53,7 @@ def quality_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
     n_stop = F.size(F.expr(
-        "filter(filter(split(lower({t}), '[^a-z0-9_]+'), x -> x <> ''),"
+        "filter(regexp_extract_all(lower({t}), '[a-z0-9_]+', 0),"
         " x -> array_contains(array({stops}), x))".format(
             t=text_col,
             stops=",".join(f"'{s}'" for s in LANG_PROFILES["en"]),
@@ -93,8 +95,8 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         cols.append(
             F.size(
                 F.expr(
-                    f"filter(filter(split(lower({text_col}), '[^a-z0-9_]+'),"
-                    f" x -> x <> ''), x -> array_contains(array({stops_sql}), x))"
+                    f"filter(regexp_extract_all(lower({text_col}), '[a-z0-9_]+',"
+                    f" 0), x -> array_contains(array({stops_sql}), x))"
                 )
             ).alias(f"hits_{lang}")
         )

@@ -972,11 +972,11 @@ def xf_rules_events(spark, sf_dir):
         Rule("k_val", path="$.k", transform="integer"),
         Rule("etype", path="event_type", transform="string"),
         Rule("with_default", path="$.missing", transform="integer", default=7),
-        Rule("derived", source_key="k_val", transform="integer"),
+        # T8 derived key doing real computation INSIDE the rule system
+        Rule("derived", source_key="k_val", expr="k_val * 2",
+             transform="integer"),
     ]
-    out = apply_rules(ev, rules, json_col="props").withColumn(
-        "derived", F.col("derived") * 2
-    )
+    out = apply_rules(ev, rules, json_col="props")
     return (
         out.groupBy("etype")
         .agg(
@@ -984,6 +984,56 @@ def xf_rules_events(spark, sf_dir):
             F.sum("k_val").alias("k_sum"),
             F.sum("derived").alias("derived_sum"),
             F.sum("with_default").alias("def_sum"),
+        )
+        .orderBy("etype")
+    )
+
+
+@q(
+    "xf_spec_yaml",
+    """
+WITH x AS (
+  SELECT CAST(event_type AS VARCHAR) AS etype,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+         coalesce(CAST(json_extract(props, '$.missing') AS BIGINT), 7)
+           AS with_default,
+         CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS derived,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS raw_k
+  FROM events)
+SELECT etype, count(*) AS cnt, CAST(sum(k_val) AS BIGINT) AS k_sum,
+       CAST(sum(derived) AS BIGINT) AS derived_sum,
+       CAST(sum(with_default) AS BIGINT) AS def_sum,
+       CAST(sum(raw_k) AS BIGINT) AS raw_sum
+FROM x GROUP BY etype ORDER BY etype
+""",
+)
+def xf_spec_yaml(spark, sf_dir):
+    """Extraction driven ENTIRELY from a versioned YAML type spec (S7:
+    specs/events.yaml parsed by functions/typespec.py, the reference's
+    ObjectTypeParsingRulesFileParser analog). Latest-version routing picks
+    v2, whose rules exercise JSON paths (T10), casts (T1/T2), optional
+    default (T7), a derived EXPRESSION key (T8), and a stored-but-
+    not-indexed key (T9 — asserted excluded from indexed_keys)."""
+    import os as _os
+
+    from ..functions.transforms import apply_rules
+    from ..functions.typespec import parse_spec_file
+
+    spec = parse_spec_file(
+        _os.path.join(_os.path.dirname(__file__), "..", "specs", "events.yaml")
+    )
+    rules = spec.rules()  # no version given -> latest (v2), the reference default
+    assert "raw_k" not in spec.indexed_keys(), "T9 exclusion must hold"
+    ev = _tbl(spark, sf_dir, "events")
+    out = apply_rules(ev, rules)
+    return (
+        out.groupBy("etype")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k_val").alias("k_sum"),
+            F.sum("derived").alias("derived_sum"),
+            F.sum("with_default").alias("def_sum"),
+            F.sum("raw_k").alias("raw_sum"),
         )
         .orderBy("etype")
     )
@@ -1174,7 +1224,7 @@ def xf_subobjects(spark, sf_dir):
         .where(F.col("doc_id") < 20)
         .withColumn(
             "toks",
-            F.expr("filter(split(lower(text), '[^a-z0-9_]+'), x -> x <> '')"),
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"),
         )
     )
     out = explode_subobjects(d, ["doc_id", "lang"], "toks")

@@ -1,0 +1,163 @@
+"""Versioned YAML type-spec system (S7) — the analog of the reference's
+ObjectTypeParsingRulesFileParser + TypeMapping tests (testTypeVersions,
+ElasticIndexingStorageTest.java:961-1014): version coexistence, routing,
+default-version fallback, T8 expression keys, T9 exclusion."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbasesearchengine_spark.functions.transforms import apply_rules
+from kbasesearchengine_spark.functions.typespec import (
+    TypeSpecError,
+    parse_spec,
+    parse_spec_file,
+    parse_type_mapping,
+    resolve_rules,
+)
+
+TWO_VERSIONS = """
+global-object-type: TwoVers
+storage-type: WS
+storage-object-type: TwoVersions.Type
+versions:
+    -
+        indexing-rules:
+            -
+                path: whee
+                keyword-type: string
+    -
+        indexing-rules:
+            -
+                path: whee
+                keyword-type: string
+            -
+                path: whoo
+                keyword-type: string
+"""
+
+MAPPING = """
+storage-type: WS
+types:
+    TwoVersions.Type:
+        versions:
+            1:
+                -
+                    type: TwoVers
+                    version: 1
+            2:
+                -
+                    type: TwoVers
+                    version: 2
+"""
+
+EVENTS_SPEC = os.path.join(
+    os.path.dirname(__file__), "..", "kbasesearchengine_spark", "specs",
+    "events.yaml",
+)
+
+
+def test_two_versions_parse():
+    spec = parse_spec(TWO_VERSIONS)
+    assert spec.name == "TwoVers"
+    assert spec.latest_version == 2
+    assert [r.name for r in spec.rules(1)] == ["whee"]
+    assert [r.name for r in spec.rules(2)] == ["whee", "whoo"]
+    # default (None) = latest — the reference's no-mapping fallback
+    assert [r.name for r in spec.rules()] == ["whee", "whoo"]
+    with pytest.raises(TypeSpecError):
+        spec.rules(3)
+
+
+def test_key_name_defaults_to_first_path_section():
+    spec = parse_spec(
+        """
+global-object-type: T
+storage-type: WS
+storage-object-type: X.Y
+versions:
+    -
+        indexing-rules:
+            -
+                path: features/{size}
+                keyword-type: integer
+            -
+                path: taxonomy
+                full-text: true
+"""
+    )
+    r_size, r_ft = spec.rules(1)
+    assert r_size.name == "features" and r_size.transform == "size"
+    assert r_ft.name == "taxonomy" and r_ft.full_text
+
+
+def test_type_mapping_routes_versions():
+    specs = {"TwoVers": parse_spec(TWO_VERSIONS)}
+    mapping = parse_type_mapping(MAPPING)
+    assert mapping.route("TwoVersions.Type", 1) == [("TwoVers", 1)]
+    assert mapping.route("TwoVersions.Type", 2) == [("TwoVers", 2)]
+
+    out1 = resolve_rules(specs, mapping, "TwoVersions.Type", 1)
+    assert out1 == [("TwoVers", 1, specs["TwoVers"].rules(1))]
+    out2 = resolve_rules(specs, mapping, "TwoVersions.Type", 2)
+    assert out2[0][1] == 2 and len(out2[0][2]) == 2
+    # unmapped storage version -> no mapping rows -> latest-version fallback
+    out9 = resolve_rules(specs, mapping, "TwoVersions.Type", 9)
+    assert out9[0][1] == 2
+
+
+def test_version_coexistence_extraction(spark):
+    """Two spec versions applied to the same objects produce their own
+    document shapes (the testTypeVersions analog)."""
+    spec = parse_spec(TWO_VERSIONS)
+    df = spark.createDataFrame(
+        [("a", "b")], "whee string, whoo string"
+    )
+    v1 = apply_rules(df.select("whee", "whoo"), spec.rules(1))
+    v2 = apply_rules(df.select("whee", "whoo"), spec.rules(2))
+    assert set(r.name for r in spec.rules(1)) <= set(v1.columns)
+    assert "whoo" in v2.columns
+    assert v2.select("whee", "whoo").first() == ("a", "b")
+
+
+def test_events_spec_full_pipeline(spark):
+    spec = parse_spec_file(EVENTS_SPEC)
+    assert spec.latest_version == 2
+    assert "raw_k" not in spec.indexed_keys()  # T9
+    assert "raw_k" in [r.name for r in spec.rules()]  # stored
+    df = spark.createDataFrame(
+        [(1, "A", '{"k": 3}'), (2, "B", "{}")],
+        "event_id bigint, event_type string, props string",
+    )
+    out = apply_rules(df, spec.rules()).orderBy("event_id").collect()
+    assert out[0]["k_val"] == 3 and out[0]["derived"] == 6  # T8 expr
+    assert out[0]["with_default"] == 7 and out[1]["with_default"] == 7  # T7
+    assert out[1]["k_val"] is None and out[1]["derived"] is None
+    # v1 extracts fewer keys from the SAME rows
+    v1_cols = {r.name for r in spec.rules(1)}
+    assert v1_cols == {"etype", "k_val"}
+
+
+def test_spec_errors():
+    with pytest.raises(TypeSpecError):
+        parse_spec("global-object-type: X\nstorage-type: WS\n")  # missing fields
+    with pytest.raises(TypeSpecError):
+        parse_spec(
+            "global-object-type: X\nstorage-type: WS\n"
+            "storage-object-type: A.B\nversions: []\n"
+        )
+    with pytest.raises(TypeSpecError):
+        parse_spec(
+            """
+global-object-type: X
+storage-type: WS
+storage-object-type: A.B
+versions:
+    -
+        indexing-rules:
+            -
+                path: p
+                keyword-type: nosuchtype
+"""
+        )
