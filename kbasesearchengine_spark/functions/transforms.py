@@ -174,4 +174,8 @@ def explode_subobjects(
         *parent_id_cols,
         F.col(child_val),
         F.concat_ws(":", parent_key, F.col("_pos").cast("string")).alias(child_id),
+        # U2: child documents carry the sub-index flag (the reference's
+        # `*_sub` index-name convention, ElasticIndexingStorage.java:62);
+        # the default search path excludes is_sub rows
+        F.lit(True).alias("is_sub"),
     )

@@ -79,10 +79,14 @@ def assign_doc_ids(
 
     Partition-count-invariant (FIXTURES.md §1): the id is the global sort
     rank, which does not depend on where range-partition boundaries fall,
-    so local[8] and local[32] assign identical ids. Two Arrow-only passes
-    over a persisted range-sorted frame — no driver collect of data rows,
-    no per-row Python. Returns (df_with_doc_id, n_rows, total_dl) — count
-    and (with compute_dl) total token count fall out of the offset pass.
+    so local[8] and local[32] assign identical ids. ENTIRELY JVM-side:
+    one offsets job (groupBy partition id) plus a projection that combines
+    the broadcast offset array with monotonically_increasing_id's
+    within-partition sequence (lower 33 bits — rows flow in sorted order,
+    so the sequence IS the partition-local rank). No Arrow crossing, no
+    per-row Python, no driver collect of data rows. Returns
+    (df_with_doc_id, n_rows, total_dl) — count and (with compute_dl)
+    total token count fall out of the offset pass.
     """
     spark = df.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
@@ -107,25 +111,35 @@ def assign_doc_ids(
     for pid in range(max(counts) + 1 if counts else 0):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
-    bc = spark.sparkContext.broadcast(offsets)
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in sorted_df.schema if f.name != "_pid"
-    ) + ", doc_id bigint"
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            start = bc.value[pid] + seen
-            seen += len(pdf)
-            yield pdf.drop(columns=["_pid"]).assign(
-                doc_id=np.arange(start, start + len(pdf), dtype=np.int64)
-            )
-
-    result = sorted_df.mapInPandas(assign, schema=out_schema)
+    # doc_id = offset[_pid] + within-partition row sequence. The sequence
+    # comes from monotonically_increasing_id's low 33 bits (its contract:
+    # partition id in the high bits, per-partition record number in the
+    # low 33); evaluated over the persisted sorted partitions it counts
+    # rows in sorted order. element_at on a literal array = O(1) offset
+    # lookup, whole-stage codegen.
+    offsets_arr = F.array(
+        *[F.lit(offsets.get(p, 0)).cast("bigint") for p in range(len(offsets))]
+    )
+    keep = [c for c in sorted_df.columns if c != "_pid"]
+    if offsets:
+        result = sorted_df.select(
+            *keep,
+            (
+                F.element_at(offsets_arr, F.col("_pid").cast("int") + 1)
+                + (F.monotonically_increasing_id() % F.lit(1 << 33))
+            ).alias("doc_id"),
+        )
+    else:  # empty input: keep the schema, zero rows
+        result = (
+            sorted_df.select(*keep)
+            .withColumn("doc_id", F.lit(0).cast("bigint"))
+            .limit(0)
+        )
+    # expose the persisted sort cache so the caller can unpersist it once
+    # the downstream frame is materialized (it's a full raw-corpus copy in
+    # executor memory — dead weight after the first pass)
+    result._kbse_sort_cache = sorted_df
     return result, acc, total_dl
 
 
@@ -161,6 +175,7 @@ def build_docs(
         with_ids.withColumn("sha256", F.sha2(F.col(text_col), 256))
         .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
     )
+    docs._kbse_sort_cache = getattr(with_ids, "_kbse_sort_cache", None)
     return docs, n_docs, total_dl
 
 
@@ -488,11 +503,19 @@ class IndexBuilder:
         doc_id_col: str | None = None,
         resume: bool = True,
         max_groups: int | None = None,
+        store_text: bool = True,
     ) -> dict:
         """Build (or resume) the index. Returns final stats dict.
 
         max_groups: fault-injection knob for resume tests — abort after
         committing this many segment groups (simulates a mid-build kill).
+
+        store_text=False drops the raw text column from the WRITTEN docs
+        table (keys, metadata, dl, sha256 stay) — the 100-TB layout: the
+        source Iceberg table already holds the content; duplicating it
+        into the index doubles the corpus write. Hydration then joins the
+        source by key. A resume re-derives the assigned frame from the
+        corpus instead of re-reading stored docs (deterministic ids).
         """
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -509,9 +532,20 @@ class IndexBuilder:
             # doc_id order, so the posting build can run on it directly —
             # no docs re-read and no second shuffle
             cached_docs = docs.persist()
-            cached_docs.write.mode("overwrite").partitionBy("segment").parquet(
+            to_store = cached_docs if store_text else cached_docs.drop(text_col)
+            to_store.write.mode("overwrite").partitionBy("segment").parquet(
                 docs_path
             )
+            sort_cache = getattr(docs, "_kbse_sort_cache", None)
+            if sort_cache is not None:
+                sort_cache.unpersist()  # raw-corpus copy, dead after this write
+            if n_docs == 0:
+                # a zero-row partitionBy write emits NO files — leave a
+                # schema-bearing empty partition so every reader (and the
+                # first incremental add) still infers the layout
+                cached_docs.drop("segment").limit(0).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(docs_path, "segment=-1"))
             if total_dl is not None:
                 stats = {"n_docs": n_docs,
                          "avgdl": total_dl / n_docs if n_docs else 0.0,
@@ -531,9 +565,19 @@ class IndexBuilder:
         with open(os.path.join(self.index_dir, "stats.json")) as f:
             stats = json.load(f)
 
-        docs_df = cached_docs if cached_docs is not None else spark.read.parquet(
-            docs_path
-        )
+        docs_df = cached_docs
+        if docs_df is None:
+            stored = spark.read.parquet(docs_path)
+            if text_col in stored.columns:
+                docs_df = stored
+            else:
+                # store_text=False resume: re-derive the assigned frame
+                # from the corpus (doc_id = sort rank — deterministic)
+                docs, _, _ = build_docs(
+                    corpus, key_cols, text_col, doc_id_col, self.num_segments
+                )
+                cached_docs = docs.persist()
+                docs_df = cached_docs
         seg_size = stats["seg_size"]
         n_segments = max(1, math.ceil(stats["n_docs"] / seg_size))
 
@@ -557,6 +601,17 @@ class IndexBuilder:
             postings.write.mode("overwrite").partitionBy("segment").parquet(
                 postings_path
             )
+            if not any(
+                e.name.startswith("segment=")
+                for e in os.scandir(postings_path)
+                if e.is_dir()
+            ):
+                # empty corpus: leave a schema-bearing empty partition
+                spark.createDataFrame(
+                    [], POSTING_SCHEMA.replace("segment int, ", "")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(postings_path, "segment=-1")
+                )
             # metrics: column-pruned (segment, df) scan for counts + raw
             # file sizes from the partition dirs — never re-decodes the
             # posting payload bytes it just wrote
@@ -625,6 +680,10 @@ class IndexBuilder:
             terms.write.mode("overwrite").partitionBy("batch").parquet(
                 os.path.join(self.index_dir, "terms")
             )
+            if stats["n_docs"] == 0:
+                spark.createDataFrame([], "term string, df bigint").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self.index_dir, "terms", "batch=0"))
             self.write_marker("terms", {"seconds": time.time() - t0})
 
         if cached_docs is not None:

@@ -1120,6 +1120,49 @@ def api_relevance_page2(spark, sf_dir):
 
 
 @q(
+    "rel_sub_exclusion",
+    """
+WITH p AS (SELECT lang, count(*) AS n_parent FROM documents
+           WHERE doc_id < 50 GROUP BY lang),
+s AS (SELECT lang,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))
+                  AS BIGINT) AS n_sub
+      FROM documents WHERE doc_id < 50 GROUP BY lang)
+SELECT p.lang, p.n_parent, coalesce(s.n_sub, 0) AS n_sub
+FROM p LEFT JOIN s USING (lang) ORDER BY p.lang
+""",
+)
+def rel_sub_exclusion(spark, sf_dir):
+    """Sub-index exclusion (U2): parent docs and exploded sub-object child
+    docs form one multi-index union tagged is_sub (the reference's `*_sub`
+    index-name convention, ElasticIndexingStorage.java:62,1544-1546 —
+    default searches exclude `-*_sub`). The result proves both populations
+    ride the union and that the default path counts only parents."""
+    from ..functions.transforms import explode_subobjects
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .withColumn(
+            "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+        )
+    )
+    subs = explode_subobjects(d, ["doc_id", "lang"], "toks").select(
+        "doc_id", "lang", "is_sub"
+    )
+    parents = d.select("doc_id", "lang", F.lit(False).alias("is_sub"))
+    union = parents.unionByName(subs)
+    return (
+        union.groupBy("lang")
+        .agg(
+            F.sum(F.when(~F.col("is_sub"), 1).otherwise(0)).alias("n_parent"),
+            F.sum(F.when(F.col("is_sub"), 1).otherwise(0)).alias("n_sub"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
     "api_search_types",
     """
 WITH m AS (

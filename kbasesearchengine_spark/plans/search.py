@@ -133,12 +133,16 @@ def search_objects(
     if post.ids_only:
         return page.select("doc_id")  # _source: [guid] analog (P10)
     if post.highlight and match.full_text:
-        terms = sorted(set(match.full_text.lower().split()))
+        # ONE highlight semantics engine-wide (pinned by the driver oracle
+        # and the reference's expected format, <em>token</em> on analyzed-
+        # token matches, ElasticIndexingStorageTest.java:1519): literal
+        # replace of each analyzed query term
+        from ..functions.tokenize import tokenize_py
+
+        terms = sorted(set(tokenize_py(match.full_text)))
         hl = F.col("text") if "text" in page.columns else F.col("content")
         for t in terms:
-            hl = F.regexp_replace(
-                hl, f"(?i)\\b({t})\\b", "<em>$1</em>"
-            )
+            hl = F.replace(hl, F.lit(t), F.lit(f"<em>{t}</em>"))
         page = page.withColumn("highlight", hl)
     if not post.include_content:
         drop = [c for c in ("text", "content") if c in page.columns]

@@ -83,6 +83,48 @@ def events_to_version_rows(events: DataFrame) -> DataFrame:
     )
 
 
+def expand_group_events(events: DataFrame, state: DataFrame) -> DataFrame:
+    """E5 group expansion: a NEW_ALL_VERSIONS event fans out into one
+    NEW_VERSION child event per existing version of the object in `state`
+    (the reference's WorkspaceEventHandler.java:433-563 re-index
+    expansion). Child event_ids are deterministic derivatives of the
+    parent id (parent*4096 + version ordinal), so replay stays idempotent
+    through the same event_id dedup. Non-group events pass through.
+    """
+    group = events.where(F.col("op") == "NEW_ALL_VERSIONS")
+    rest = events.where(F.col("op") != "NEW_ALL_VERSIONS")
+    w = Window.partitionBy(*DOC_KEY).orderBy(
+        F.asc("ts"), F.asc_nulls_first("event_id")
+    )
+    versions = (
+        state.where((~F.col("tombstone")) & F.col("content").isNotNull())
+        .withColumn("_vn", F.row_number().over(w))
+        .select(
+            *DOC_KEY,
+            F.col("commit").alias("_commit"),
+            F.col("lang").alias("_lang"),
+            F.col("content").alias("_content"),
+            "_vn",
+        )
+    )
+    children = (
+        group.join(versions, DOC_KEY)
+        .select(
+            (F.col("event_id") * 4096 + F.col("_vn")).alias("event_id"),
+            F.col("ts"),
+            F.lit("NEW_VERSION").alias("op"),
+            F.col("repo"),
+            F.col("path"),
+            F.col("_commit").alias("commit"),
+            F.col("_lang").alias("lang"),
+            F.col("_content").alias("content"),
+        )
+    )
+    return rest.select(
+        "event_id", "ts", "op", "repo", "path", "commit", "lang", "content"
+    ).unionByName(children)
+
+
 def apply_events(state: DataFrame, events: DataFrame) -> DataFrame:
     """Apply an event batch to the versioned doc state (append-only log).
 

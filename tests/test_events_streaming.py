@@ -69,6 +69,67 @@ def test_duplicate_event_ids_dropped(spark, state0):
     assert n == 1
 
 
+def test_undelete_restores_last_version(spark, state0):
+    """M8: DELETE then UNDELETE makes the last pre-delete version visible
+    again (reference undeleteAllVersions, ElasticIndexingStorage.java:
+    918-953)."""
+    batch = [
+        (1, 10, "NEW_VERSION", "r1", "a.py", "c1", "python", "alpha v2"),
+        (2, 20, "DELETE", "r1", "a.py", None, None, None),
+    ]
+    state = ev.apply_events(state0, _events_df(spark, batch))
+    assert ("r1", "a.py") not in {
+        (r["repo"], r["path"]) for r in ev.visible_docs(state).collect()
+    }
+    state = ev.apply_events(
+        state, _events_df(spark, [(3, 30, "UNDELETE", "r1", "a.py", None, None, None)])
+    )
+    vis = {(r["repo"], r["path"]): r for r in ev.visible_docs(state).collect()}
+    # restored content = the latest CONTENT version, not the tombstone
+    assert vis[("r1", "a.py")]["content"] == "alpha v2"
+    # delete again -> hidden again
+    state = ev.apply_events(
+        state, _events_df(spark, [(4, 40, "DELETE", "r1", "a.py", None, None, None)])
+    )
+    assert ("r1", "a.py") not in {
+        (r["repo"], r["path"]) for r in ev.visible_docs(state).collect()
+    }
+
+
+def test_group_event_expansion(spark, state0):
+    """E5: NEW_ALL_VERSIONS fans out to one NEW_VERSION child per existing
+    version; child ids deterministic; non-group events pass through."""
+    state = ev.apply_events(
+        state0,
+        _events_df(
+            spark,
+            [(1, 10, "NEW_VERSION", "r1", "a.py", "c1", "python", "alpha v2")],
+        ),
+    )
+    batch = _events_df(
+        spark,
+        [
+            (9, 50, "NEW_ALL_VERSIONS", "r1", "a.py", None, None, None),
+            (10, 50, "NEW_VERSION", "r2", "x.go", "c9", "go", "zeta v2"),
+        ],
+    )
+    expanded = ev.expand_group_events(batch, state)
+    rows = expanded.orderBy("event_id").collect()
+    # 2 children (two versions of r1/a.py) + 1 passthrough
+    kinds = [(r["op"], r["repo"], r["path"]) for r in rows]
+    assert kinds.count(("NEW_VERSION", "r1", "a.py")) == 2
+    assert ("NEW_VERSION", "r2", "x.go") in kinds
+    assert len(rows) == 3
+    child_ids = sorted(r["event_id"] for r in rows if r["path"] == "a.py")
+    assert child_ids == [9 * 4096 + 1, 9 * 4096 + 2]
+    contents = {r["content"] for r in rows if r["path"] == "a.py"}
+    assert contents == {"alpha beta", "alpha v2"}
+    # expansion replay is idempotent through the normal event_id dedup
+    s1 = ev.apply_events(state, expanded)
+    s2 = ev.apply_events(s1, ev.expand_group_events(batch, state))
+    assert s1.count() == s2.count()
+
+
 def test_structured_streaming_path(spark, state0, tmp_path):
     events_dir = str(tmp_path / "events_in")
     state_path = str(tmp_path / "state")

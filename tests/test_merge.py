@@ -73,3 +73,52 @@ def test_plan_merges_greedy():
     assert set(m).issuperset({0, 1, 3, 4, 5})
     for src, dst in m.items():
         assert dst in m and m[dst] == dst
+
+
+def test_apply_merge_keeps_doc_filter_consistent(spark, tmp_path):
+    """apply_merge rewrites postings AND docs partitions together: a
+    filtered (cogrouped) query after the on-disk merge must return exactly
+    what it returned before (the silent-vanish bug class: postings
+    remapped without docs.segment)."""
+    import shutil
+
+    from kbasesearchengine_spark.operators.merge import apply_merge
+    from kbasesearchengine_spark.operators.topk import topk
+
+    idx_dir = str(tmp_path / "mergedisk")
+    corpus = generate_corpus(spark, 400, parallelism=4)
+    IndexBuilder(spark, idx_dir, num_segments=8, segments_per_commit=8).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    index = InvertedIndex(spark, idx_dir)
+    flt = F.col("lang") == "python"
+    before = topk(index, "parser http", k=10, mode="and",
+                  doc_filter=flt, hydrate=False).collect()
+    before_or = topk(index, "license import", k=10, mode="or",
+                     doc_filter=flt, hydrate=False).collect()
+    assert len(before) > 0  # the scenario must actually exercise the cogroup
+
+    seg_map = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 4}
+    out = apply_merge(spark, idx_dir, seg_map)
+    assert out["merged"] == 6 and out["targets"] == [0, 4]
+
+    index.refresh()
+    segs_p = sorted(
+        int(r["segment"]) for r in index.postings.select("segment").distinct().collect()
+    )
+    segs_d = sorted(
+        int(r["segment"]) for r in index.docs.select("segment").distinct().collect()
+    )
+    assert segs_p == [0, 4] and segs_d == [0, 4]  # both moved together
+
+    after = topk(index, "parser http", k=10, mode="and",
+                 doc_filter=flt, hydrate=False).collect()
+    after_or = topk(index, "license import", k=10, mode="or",
+                    doc_filter=flt, hydrate=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in before] == [
+        (r["doc_id"], r["score"]) for r in after
+    ]
+    assert [(r["doc_id"], r["score"]) for r in before_or] == [
+        (r["doc_id"], r["score"]) for r in after_or
+    ]
+    shutil.rmtree(idx_dir, ignore_errors=True)

@@ -56,24 +56,43 @@ def cpu_ceiling(n: int, n4: int, dur: float = 10.0) -> float:
 HISTORY = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 
 
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def record_run(d: dict, n_rows: int) -> None:
     os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
     with open(HISTORY, "a") as f:
         f.write(json.dumps({
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "sha": _git_sha(),
             "cores": d["cores"], "n_rows": n_rows,
             "build_sec": d["build_sec"], "docs_per_sec": d["docs_per_sec"],
         }) + "\n")
 
 
 def best_from_history(cores: int, n_rows: int) -> dict | None:
+    """Best recorded run for THIS code version only — mixing a fast
+    window measured on different code would compare apples to oranges
+    (both levels must run the identical job)."""
     if not os.path.exists(HISTORY):
         return None
+    sha = _git_sha()
     best = None
     with open(HISTORY) as f:
         for line in f:
             d = json.loads(line)
-            if d["cores"] == cores and d["n_rows"] == n_rows:
+            if (
+                d["cores"] == cores
+                and d["n_rows"] == n_rows
+                and d.get("sha") == sha
+            ):
                 if best is None or d["docs_per_sec"] > best["docs_per_sec"]:
                     best = d
     return best

@@ -40,7 +40,12 @@ def main() -> None:
 
     t0 = time.time()
     builder = IndexBuilder(spark, idx_dir, num_segments=32, segments_per_commit=32)
-    builder.build(corpus, key_cols=["repo", "path", "commit"], resume=False)
+    # store_text=False: the scale layout — content stays in the source
+    # table; the index stores keys/metadata/dl/sha256 (halves build I/O)
+    builder.build(
+        corpus, key_cols=["repo", "path", "commit"], resume=False,
+        store_text=False,
+    )
     build_sec = time.time() - t0
 
     index = InvertedIndex(spark, idx_dir)
