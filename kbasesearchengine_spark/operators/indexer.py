@@ -726,6 +726,53 @@ def build_field_index(
     return sub_dir
 
 
+def build_from_spec(
+    spark: SparkSession,
+    index_dir: str,
+    objects: DataFrame,
+    spec,
+    key_cols: list[str],
+    version: int | None = None,
+    json_col: str | None = None,
+    num_segments: int = 16,
+    segments_per_commit: int | None = None,
+) -> dict:
+    """Spec-driven index build (S7 end-to-end): extraction, storage and
+    indexing decisions all come from a versioned YAML TypeSpec
+    (functions/typespec.py — the reference's ObjectTypeParsingRules →
+    KeywordParser → ElasticIndexingStorage pipeline).
+
+      - every rule output is STORED on the docs table
+      - the first indexable full-text key becomes the primary BM25 index
+      - each additional indexable full-text key gets a field index (P5)
+      - full-text keys marked not-indexed are stored WITHOUT postings
+        (T9, IndexingRules.java:77-82 "keep on document, exclude from
+        index")
+    """
+    from ..functions.transforms import apply_rules
+
+    rules = spec.rules(version)
+    docs_src = apply_rules(objects, rules, json_col=json_col)
+    indexed = set(spec.indexed_keys(version))
+    ft = [r.name for r in rules if r.full_text and r.name in indexed]
+    if not ft:
+        raise ValueError(f"spec {spec.name}: no indexable full-text key")
+    primary, *extra = ft
+    cols = list(dict.fromkeys(key_cols + [r.name for r in rules]))
+    builder = IndexBuilder(
+        spark, index_dir, num_segments, segments_per_commit or num_segments
+    )
+    stats = builder.build(docs_src.select(*cols), key_cols=key_cols,
+                          text_col=primary)
+    for f in extra:
+        build_field_index(spark, index_dir, f)
+    stats["indexed_fields"] = ft
+    stats["stored_only"] = [
+        r.name for r in rules if r.full_text and r.name not in indexed
+    ]
+    return stats
+
+
 # ----------------------------------------------------------------增 incremental
 
 

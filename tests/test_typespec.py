@@ -161,3 +161,67 @@ versions:
                 keyword-type: nosuchtype
 """
         )
+
+
+def test_build_from_spec_t9_and_field_indexes(spark, tmp_path):
+    """Spec-driven build: primary + field postings from the spec's
+    full-text keys; a not-indexed full-text key is stored on docs but
+    gets NO postings anywhere (T9)."""
+    from kbasesearchengine_spark.operators.indexer import build_from_spec
+    from kbasesearchengine_spark.operators.topk import InvertedIndex, topk
+
+    spec = parse_spec(
+        """
+global-object-type: CodeDoc
+storage-type: TEST
+storage-object-type: Code.File
+versions:
+    -
+        indexing-rules:
+            -
+                path: body
+                full-text: true
+                key-name: content
+            -
+                path: fname
+                full-text: true
+                key-name: name
+            -
+                path: secret
+                full-text: true
+                key-name: secret
+                not-indexed: true
+            -
+                path: lang
+                keyword-type: keyword
+"""
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "main.py", "hunter2", "py"),
+            (2, "alpha delta", "util.py", "hunter3", "py"),
+            (3, "omega beta", "main.go", "hunter4", "go"),
+        ],
+        "oid bigint, body string, fname string, secret string, lang string",
+    )
+    idx_dir = str(tmp_path / "specidx")
+    stats = build_from_spec(
+        spark, idx_dir, df, spec, key_cols=["oid"], num_segments=2
+    )
+    assert stats["indexed_fields"] == ["content", "name"]
+    assert stats["stored_only"] == ["secret"]
+
+    index = InvertedIndex(spark, idx_dir)
+    # primary full-text over `content`
+    got = topk(index, "alpha", 10, "and", hydrate=False).collect()
+    assert len(got) == 2
+    # field-scoped over `name` with its own stats
+    fidx = index.field_index("name")
+    got_f = [r["doc_id"] for r in topk(fidx, "main", 10, "and", hydrate=False).collect()]
+    assert len(got_f) == 2
+    # T9: secret stored on docs, but indexed NOWHERE
+    assert "secret" in index.docs.columns
+    assert index.terms.where(F.col("term") == "hunter2").count() == 0
+    assert not os.path.isdir(os.path.join(idx_dir, "fields", "secret"))
+    # keyword rule stored too
+    assert "lang" in index.docs.columns
