@@ -586,6 +586,24 @@ def events_expand_json(spark, sf_dir):
     )
 
 
+@q(
+    "events_windowed_counts",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
+""",
+)
+def events_windowed_counts(spark, sf_dir):
+    """Tumbling-window aggregation (E7 windowed rates) — the exact
+    transform the Structured Streaming path runs under a watermark
+    (streaming/events.py run_windowed_stream; streaming equivalence
+    asserted in pytest), here driven in batch mode against the oracle."""
+    from ..streaming.events import windowed_type_counts
+
+    ev = _tbl(spark, sf_dir, "events")
+    return windowed_type_counts(ev).orderBy("ws", "event_type").limit(200)
+
+
 # =====================================================================
 # Training-data pipeline: deduplication family (operators/dedup.py)
 # =====================================================================

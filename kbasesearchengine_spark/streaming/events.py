@@ -185,6 +185,51 @@ def visible_docs(state: DataFrame) -> DataFrame:
     )
 
 
+def windowed_type_counts(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling-window per-type event counts (the E7 windowed-aggregation
+    shape): ONE transform shared verbatim by the batch path and the
+    Structured Streaming path (run_windowed_stream adds the watermark) —
+    the Kappa-architecture property Spark gives for free."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def run_windowed_stream(
+    spark,
+    events_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+):
+    """Streaming windowed aggregation with late-data handling: watermark
+    bounds state (windows older than max(ts) - watermark finalize and
+    append; later-than-watermark events drop) — the streaming analog of
+    the reference's out-of-order event buffer (E7), with bounded state
+    instead of an unbounded queue."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withWatermark(ts_col, watermark)
+    )
+    agg = windowed_type_counts(stream, window, ts_col)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream(
     spark,
     events_dir: str,

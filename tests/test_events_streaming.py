@@ -152,3 +152,63 @@ def test_structured_streaming_path(spark, state0, tmp_path):
     assert vis[("r1", "a.py")]["content"] == "alpha beta v3"
     assert ("r1", "b.py") not in vis
     assert vis[("r2", "y.go")]["content"] == "epsilon zeta"
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """E7 windowed aggregation: the streaming path (watermark, append
+    mode) must emit exactly the batch answer for every FINALIZED window,
+    and drop later-than-watermark stragglers."""
+    import datetime as dt
+
+    schema = "event_id bigint, ts timestamp, event_type string"
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(6):
+        for k, typ in enumerate(["a", "b"]):
+            for i in range(hour + 1 + k):
+                eid += 1
+                rows.append((eid, base + dt.timedelta(hours=hour, minutes=i), typ))
+    events = spark.createDataFrame(rows, schema)
+
+    events_dir = str(tmp_path / "ev_in")
+    out_path = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    events.coalesce(1).write.mode("append").parquet(events_dir)
+
+    q = ev.run_windowed_stream(
+        spark, events_dir, out_path, ckpt, schema,
+        window="1 hour", watermark="2 hours",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["ws"], r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    batch = {
+        (r["ws"], r["event_type"]): r["cnt"]
+        for r in ev.windowed_type_counts(events).collect()
+    }
+    # append mode emits only windows closed by the watermark
+    # (max ts = 05:06 -> watermark 03:06 -> hours 0,1,2 finalized)
+    assert len(got) > 0
+    cutoff = max(ts for _, ts, _ in rows) - dt.timedelta(hours=2)
+    expected_closed = {k: v for k, v in batch.items() if k[0] + dt.timedelta(hours=1) <= cutoff}
+    assert got == expected_closed
+
+    # a second micro-batch with a straggler BEHIND the watermark: dropped
+    late = spark.createDataFrame(
+        [(9999, base + dt.timedelta(minutes=30), "a")], schema
+    )
+    late.coalesce(1).write.mode("append").parquet(events_dir)
+    q2 = ev.run_windowed_stream(
+        spark, events_dir, out_path, ckpt, schema,
+        window="1 hour", watermark="2 hours",
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["ws"], r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got2 == expected_closed  # straggler did not resurrect hour 0

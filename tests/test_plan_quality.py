@@ -71,3 +71,35 @@ def test_topk_final_sort_is_bounded(index):
 
     df = topk(index, "license import", k=10, mode="and", hydrate=False)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_ann_bucketed_partition_pruning(spark, tmp_path):
+    """The write_bucketed ANN layout must turn bucket probing into
+    PARTITION pruning (directory-level), not a data filter — the whole
+    point of the layout at 100 TB."""
+    import numpy as np
+
+    from kbasesearchengine_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    pdf = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "emb_bucketed")
+    ann.write_bucketed(emb, path, dim=16)
+
+    q = [float(x) for x in vecs[0]]
+    out = ann.cosine_topk_lsh_indexed(spark, path, q, k=5)
+    plan = out._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in part
+
+    # and the probe answers match the scan-time LSH variant exactly
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in out.collect()]
+    exp = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ann.cosine_topk_lsh(emb, q, k=5).collect()
+    ]
+    assert got == exp
+    assert got[0][0] == 0  # the query vector itself is its own top-1
