@@ -1,0 +1,88 @@
+"""Update-by-query mutations (M2-M7): partition-scoped in-place field
+updates; untouched partitions stay byte-identical; queries see the new
+metadata immediately."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kbasesearchengine_spark.corpus import generate_corpus
+from kbasesearchengine_spark.operators.indexer import IndexBuilder
+from kbasesearchengine_spark.operators.mutate import (
+    publish_objects,
+    set_access_group,
+    update_docs_fields,
+)
+from kbasesearchengine_spark.operators.topk import InvertedIndex, topk
+
+
+def _mtimes(root):
+    out = {}
+    for d in os.listdir(root):
+        if d.startswith("segment="):
+            p = os.path.join(root, d)
+            out[d] = sorted(
+                (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                for f in os.listdir(p) if not f.startswith((".", "_"))
+            )
+    return out
+
+
+def test_update_by_query_partition_scoped(spark, tmp_path):
+    idx_dir = str(tmp_path / "mutidx")
+    corpus = generate_corpus(spark, 400, parallelism=4)
+    IndexBuilder(spark, idx_dir, num_segments=8, segments_per_commit=8).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    index = InvertedIndex(spark, idx_dir)
+    # pick a predicate confined to a few segments
+    target = index.docs.where(F.col("doc_id") < 60)
+    n_target = target.count()
+    segs_target = sorted(
+        int(r["segment"]) for r in target.select("segment").distinct().collect()
+    )
+
+    before = _mtimes(os.path.join(idx_dir, "docs"))
+    out = update_docs_fields(
+        spark, idx_dir, F.col("doc_id") < 60, {"reviewed": True, "stars": 5}
+    )
+    assert out["updated_rows"] == n_target
+    assert out["updated_segments"] == segs_target
+
+    after = _mtimes(os.path.join(idx_dir, "docs"))
+    for seg, files in before.items():
+        s = int(seg.split("=")[1])
+        if s in segs_target:
+            assert after[seg] != files, f"{seg} should have been rewritten"
+        else:
+            assert after[seg] == files, f"{seg} rewritten unnecessarily"
+
+    index.refresh()
+    assert index.docs.where(F.col("reviewed")).count() == n_target
+    assert index.docs.where(F.col("stars") == 5).count() == n_target
+    # rows outside the match keep nulls for the new columns
+    assert index.docs.where(F.col("reviewed").isNull()).count() == 400 - n_target
+    # postings untouched: a ranked query still runs and hydrates
+    got = topk(index, "parser http", k=5, mode="and").collect()
+    assert len(got) > 0 and "reviewed" in got[0].asDict()
+
+
+def test_publish_and_share_flags(spark, tmp_path):
+    idx_dir = str(tmp_path / "pubidx")
+    corpus = generate_corpus(spark, 200, parallelism=4)
+    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    publish_objects(spark, idx_dir, F.col("lang") == "python")
+    set_access_group(spark, idx_dir, F.col("lang") == "go", group=7)
+
+    index = InvertedIndex(spark, idx_dir)
+    n_py = index.docs.where(F.col("lang") == "python").count()
+    assert index.docs.where(F.col("is_public")).count() == n_py
+    go = index.docs.where(F.col("lang") == "go")
+    assert go.where((F.col("access_group") == 7) & F.col("shared")).count() == go.count()
+    # filtered search honors the new metadata (the A-block collapse)
+    got = topk(index, "license import", k=10, mode="or",
+               doc_filter=F.col("is_public"), hydrate=False).collect()
+    pub_ids = {r["doc_id"] for r in index.docs.where(F.col("is_public")).select("doc_id").collect()}
+    assert all(r["doc_id"] in pub_ids for r in got)
