@@ -42,6 +42,47 @@ class MatchFilter:
     term_in: dict[str, list] = dc_field(default_factory=dict)  # P2
     term_not_in: dict[str, list] = dc_field(default_factory=dict)  # P11
     ranges: dict[str, tuple] = dc_field(default_factory=dict)  # P3 (lo, hi), either None
+    # P7 bool.should: a list of clauses OR'd together, each clause an AND
+    # of {column: value} terms (ElasticIndexingStorage.java:1304-1326 —
+    # should inside the bool composition); combined with the other
+    # filters by AND, matching ES filter-context semantics
+    should: list = dc_field(default_factory=list)
+
+
+@dataclass
+class AccessFilter:
+    """A1-A5 access blocks collapsed to metadata predicates (SURVEY §2.3;
+    flags written by operators/mutate.py share/publish mutations):
+
+      admin          -> no access constraint at all (A4,
+                        ElasticIndexingStorage.java:1423-1440)
+      with_public    -> is_public=true qualifies (A1)
+      user_groups    -> access_group ∈ groups qualifies (A2/A3)
+      no groups + no public + not admin -> ZERO hits without touching the
+                        index (A5 short-circuit, :1506-1511)
+    """
+    user_groups: list = dc_field(default_factory=list)
+    with_public: bool = False
+    admin: bool = False
+
+    def is_empty(self) -> bool:
+        """A5: nothing could possibly match — skip the query entirely."""
+        return not (self.admin or self.user_groups or self.with_public)
+
+    def predicate(self) -> Column | None:
+        if self.admin:
+            return None  # unconstrained
+        preds = []
+        if self.with_public:
+            preds.append(F.col("is_public") == True)  # noqa: E712
+        if self.user_groups:
+            preds.append(F.col("access_group").isin([int(g) for g in self.user_groups]))
+        if not preds:
+            return F.lit(False)  # A5: provably empty
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
 
 
 @dataclass
@@ -78,6 +119,22 @@ def _predicate(mf: MatchFilter) -> Column | None:
             preds.append(F.col(k) >= lo)
         elif hi is not None:
             preds.append(F.col(k) <= hi)
+    if mf.should:
+        clauses = []
+        for clause in mf.should:
+            cp = None
+            for k, v in clause.items():
+                term = F.col(k).isin(v) if isinstance(v, (list, tuple)) else (
+                    F.col(k) == F.lit(v)
+                )
+                cp = term if cp is None else (cp & term)
+            if cp is not None:
+                clauses.append(cp)
+        if clauses:
+            disj = clauses[0]
+            for c in clauses[1:]:
+                disj = disj | c
+            preds.append(disj)
     if not preds:
         return None
     out = preds[0]
@@ -92,11 +149,20 @@ def search_objects(
     sorting: list[SortingRule] | None = None,
     pagination: Pagination | None = None,
     post: PostProcessing | None = None,
+    access: AccessFilter | None = None,
 ) -> DataFrame:
     """The main read path (SearchMethods.searchObjects → queryHits)."""
     pagination = pagination or Pagination()
     post = post or PostProcessing()
+    if access is not None and access.is_empty():
+        # A5 short-circuit: return the empty shape without querying
+        empty = index.docs.limit(0).withColumn("score", F.lit(0.0))
+        return empty.select("doc_id") if post.ids_only else empty
     pred = _predicate(match)
+    if access is not None:
+        ap = access.predicate()
+        if ap is not None:
+            pred = ap if pred is None else (pred & ap)
 
     relevance = bool(sorting) and sorting[0].key == "relevance"
 
@@ -154,9 +220,20 @@ def search_types(
     index: InvertedIndex,
     match: MatchFilter,
     type_col: str = "lang",
+    access: AccessFilter | None = None,
 ) -> DataFrame:
     """Count matching docs per type, size 0 (G1)."""
+    if access is not None and access.is_empty():
+        return (
+            index.docs.limit(0)
+            .groupBy(F.col(type_col).alias("type"))
+            .agg(F.count("*").alias("count"))
+        )
     pred = _predicate(match)
+    if access is not None:
+        ap = access.predicate()
+        if ap is not None:
+            pred = ap if pred is None else (pred & ap)
     if match.full_text:
         scoring = index.field_index(match.field) if match.field else index
         scored = topk(

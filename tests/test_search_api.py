@@ -117,3 +117,64 @@ def test_empty_query_match_all(index):
     """No filters at all => match_all (P6)."""
     n = search_objects(index, MatchFilter(), pagination=Pagination(0, 1000)).count()
     assert n == 800
+
+
+def test_bool_should_composition(index):
+    """P7 should: OR of AND-clauses, composed with the other filters in
+    filter context."""
+    mf = MatchFilter(should=[{"lang": "python"}, {"lang": "go"}])
+    res = search_objects(index, mf, pagination=Pagination(0, 1000)).collect()
+    langs = {r["lang"] for r in res}
+    assert langs <= {"python", "go"} and len(langs) == 2
+    # clause-internal AND: python AND repo of first doc
+    one = res[0]
+    mf2 = MatchFilter(should=[{"lang": one["lang"], "repo": one["repo"]}])
+    res2 = search_objects(index, mf2, pagination=Pagination(0, 1000)).collect()
+    assert res2 and all(
+        r["lang"] == one["lang"] and r["repo"] == one["repo"] for r in res2
+    )
+    # should composes with must_not by AND
+    mf3 = MatchFilter(
+        should=[{"lang": "python"}, {"lang": "go"}],
+        term_not_in={"lang": ["go"]},
+    )
+    res3 = search_objects(index, mf3, pagination=Pagination(0, 1000)).collect()
+    assert {r["lang"] for r in res3} == {"python"}
+
+
+def test_access_filter_blocks(spark, tmp_path):
+    """A1/A2/A4/A5: public block, group block, admin bypass, empty-access
+    short-circuit — over flags written by the mutation operators."""
+    from kbasesearchengine_spark.operators.mutate import (
+        publish_objects,
+        set_access_group,
+    )
+    from kbasesearchengine_spark.plans.search import AccessFilter
+
+    idx_dir = str(tmp_path / "aclidx")
+    corpus = generate_corpus(spark, 200, parallelism=4)
+    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    publish_objects(spark, idx_dir, F.col("lang") == "python")
+    set_access_group(spark, idx_dir, F.col("lang") == "go", group=7)
+    idx = InvertedIndex(spark, idx_dir)
+    n_py = idx.docs.where(F.col("lang") == "python").count()
+    n_go = idx.docs.where(F.col("lang") == "go").count()
+
+    # A1 public block
+    res = search_objects(idx, MatchFilter(), pagination=Pagination(0, 1000),
+                         access=AccessFilter(with_public=True))
+    assert res.count() == n_py
+    # A2 group block (ORs with public)
+    res = search_objects(idx, MatchFilter(), pagination=Pagination(0, 1000),
+                         access=AccessFilter(user_groups=[7], with_public=True))
+    assert res.count() == n_py + n_go
+    # A4 admin: unconstrained
+    res = search_objects(idx, MatchFilter(), pagination=Pagination(0, 1000),
+                         access=AccessFilter(admin=True))
+    assert res.count() == 200
+    # A5 empty access: zero rows, no index touch
+    res = search_objects(idx, MatchFilter(), access=AccessFilter())
+    assert res.count() == 0
+    assert search_types(idx, MatchFilter(), access=AccessFilter()).count() == 0
