@@ -365,18 +365,23 @@ def build_postings_from_docs(
         "doc_id", "segment", "dl", tokenize_expr("_text").alias("_toks")
     )
 
-    FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.7 GB arrays)
+    FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.5 GB arrays)
 
-    def _flush(seg_l, doc_l, dl_l, tf_l, term_l):
+    def _flush(seg_l, doc_l, dl_l, tf_l, code_l, vocab_list):
         seg = np.concatenate(seg_l)
         doc = np.concatenate(doc_l)
         dl = np.concatenate(dl_l)
         tf = np.concatenate(tf_l)
-        term = np.concatenate(term_l)
-        codes, uniq = pd.factorize(term, sort=False)
+        codes = np.concatenate(code_l)
         # input rows are already in (segment, doc) order — a STABLE sort by
         # term code alone yields contiguous (term, segment, doc) runs (one
-        # int sort; ~3x cheaper than a 3-key lexsort)
+        # int sort). Codes are PARTITION-GLOBAL (the vocab dict below), so
+        # the buffered state between batches is pure int64 — no object
+        # arrays held, nothing re-hashed at flush time. (The earlier
+        # design re-factorized the concatenated string column here: ~60
+        # bytes/ref of object traffic and a full re-hash per flush — the
+        # single biggest memory-bandwidth cost in the build, and the main
+        # reason kernel scaling capped at ~0.5 across cores.)
         order = np.argsort(codes, kind="stable")
         seg, doc, dl, tf, codes = (
             seg[order], doc[order], dl[order], tf[order], codes[order]
@@ -390,10 +395,11 @@ def build_postings_from_docs(
             doc.astype(np.uint64), tf.astype(np.uint64), dl.astype(np.uint64),
             starts, ends, BLOCK_SIZE,
         )
+        vocab_arr = np.asarray(vocab_list, dtype=object)
         return pd.DataFrame(
             {
                 "segment": seg[starts].astype(np.int32),
-                "term": np.asarray(uniq, dtype=object)[codes[starts]],
+                "term": vocab_arr[codes[starts]],
                 "df": (ends - starts).astype(np.int32),
                 "doc_ids": enc["doc_ids"],
                 "tfs": enc["tfs"],
@@ -405,7 +411,9 @@ def build_postings_from_docs(
         )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seg_l, doc_l, dl_l, tf_l, term_l = [], [], [], [], []
+        seg_l, doc_l, dl_l, tf_l, code_l = [], [], [], [], []
+        vocab: dict = {}        # term -> partition-global int code
+        vocab_list: list = []   # code -> term
         pending = 0
         for pdf in batches:
             toks_list = pdf["_toks"]  # Series of numpy object arrays
@@ -421,20 +429,30 @@ def build_postings_from_docs(
             ukey, counts = np.unique(key, return_counts=True)
             rr = (ukey // len(uniq_terms)).astype(np.int64)
             tcode = (ukey % len(uniq_terms)).astype(np.int64)
+            # batch-local -> partition-global codes: dict ops over the
+            # batch's DISTINCT terms only (a few k), never per token
+            remap = np.empty(len(uniq_terms), dtype=np.int64)
+            for i, t in enumerate(uniq_terms):
+                c = vocab.get(t)
+                if c is None:
+                    c = len(vocab_list)
+                    vocab[t] = c
+                    vocab_list.append(t)
+                remap[i] = c
             seg_l.append(pdf["segment"].to_numpy()[rr].astype(np.int32))
             doc_l.append(pdf["doc_id"].to_numpy()[rr])
             dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int64))
             tf_l.append(counts.astype(np.int64))
-            term_l.append(np.asarray(uniq_terms, dtype=object)[tcode])
+            code_l.append(remap[tcode])
             pending += len(ukey)
             if pending >= FLUSH_PAIRS:
                 # RAM-buffer flush (Lucene-style): emit a sub-range of the
                 # partition as posting rows; readers merge split rows
-                yield _flush(seg_l, doc_l, dl_l, tf_l, term_l)
-                seg_l, doc_l, dl_l, tf_l, term_l = [], [], [], [], []
+                yield _flush(seg_l, doc_l, dl_l, tf_l, code_l, vocab_list)
+                seg_l, doc_l, dl_l, tf_l, code_l = [], [], [], [], []
                 pending = 0
         if seg_l:
-            yield _flush(seg_l, doc_l, dl_l, tf_l, term_l)
+            yield _flush(seg_l, doc_l, dl_l, tf_l, code_l, vocab_list)
 
     return src.mapInPandas(build, schema=POSTING_SCHEMA)
 
