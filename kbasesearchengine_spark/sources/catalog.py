@@ -38,6 +38,40 @@ def read_corpus(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
+# ----------------------------------------------------------------- index DDL
+
+
+def index_ddl(db: str, name: str) -> list[str]:
+    """S5 index DDL (the reference's explicit ES mapping creation,
+    ElasticIndexingStorage.java:1797-1873): CREATE TABLE statements for
+    the index's three tables on an Iceberg catalog. The partition clauses
+    mirror the directory layout this engine writes locally — `segment`
+    identity partitioning (the shard analog; partition pruning = shard
+    routing) and per-batch terms partitions (O(new) incremental commits).
+
+    Run via spark.sql(...) on a cluster with the Iceberg runtime; in this
+    sandbox (no Iceberg jars) the same layout is parquet directories.
+    """
+    return [
+        f"""CREATE TABLE IF NOT EXISTS {db}.{name}_docs (
+  doc_id BIGINT, repo STRING, path STRING, commit STRING, lang STRING,
+  dl INT, sha256 STRING, segment INT)
+USING iceberg PARTITIONED BY (segment)
+TBLPROPERTIES ('write.distribution-mode' = 'none')""",
+        f"""CREATE TABLE IF NOT EXISTS {db}.{name}_postings (
+  segment INT, term STRING, df INT,
+  doc_ids BINARY, tfs BINARY, dls BINARY,
+  block_last ARRAY<BIGINT>, block_max_tf ARRAY<BIGINT>,
+  block_min_dl ARRAY<BIGINT>)
+USING iceberg PARTITIONED BY (segment)
+TBLPROPERTIES ('write.distribution-mode' = 'none',
+               'sort-order' = 'term ASC')""",
+        f"""CREATE TABLE IF NOT EXISTS {db}.{name}_terms (
+  term STRING, df BIGINT, batch INT)
+USING iceberg PARTITIONED BY (batch)""",
+    ]
+
+
 # ------------------------------------------------------------- index catalog
 
 
