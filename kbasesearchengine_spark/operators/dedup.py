@@ -192,6 +192,93 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
+    threshold).
+
+    Candidate generation via random-hyperplane LSH (sign-bit signatures,
+    operators/ann.py planes): cos(a,b) ≥ t ⟹ the expected fraction of
+    disagreeing sign bits is arccos(t)/π (~7.9% at t=0.97), so near-dup
+    pairs agree on almost all planes — candidates = pairs whose
+    signatures differ in ≤ max_hamming bits, generated by a pigeonhole
+    chunk join (bounded keys, no O(n²) crossJoin). Exact cosine verify on
+    candidates, all in JVM higher-order functions.
+    """
+    from itertools import combinations
+
+    from .ann import hyperplanes, lsh_bucket_col
+
+    # rows with the signature (dim taken from the data at plan time is not
+    # possible without an action; require fixed-width vectors — standard
+    # for an embedding column)
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).cast("bigint").alias("sig"),
+    )
+
+    n_chunks = max_hamming + 1
+    base, extra = divmod(n_planes, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("int").alias("tbl"),
+                (
+                    F.shiftrightunsigned(F.col("sig"), starts[c])
+                    % (1 << widths[c])
+                ).alias("ckey"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    allc = sig.select("id", "v", "sig", F.explode(keys).alias("k")).select(
+        "id", "v", "sig", F.col("k.tbl").alias("tbl"), F.col("k.ckey").alias("ckey")
+    )
+    a = allc.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("sig").alias("sig_a"), "tbl", "ckey",
+    )
+    b = allc.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("sig").alias("sig_b"), "tbl", "ckey",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    return (
+        a.join(b, ["tbl", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
+        )
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("cosine"))
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 

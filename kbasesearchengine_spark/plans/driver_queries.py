@@ -739,6 +739,67 @@ def dedup_simhash_pairs_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _emb_near_oracle(dim: int = 64, n_planes: int = 12, seed: int = 42,
+                     max_hamming: int = 2, threshold: float = 0.95) -> str:
+    """Mirror embedding_near_pairs exactly: plant perturbed duplicates of
+    vec_id<20, LSH sign signatures from the seed-deterministic planes,
+    pigeonhole-equivalent hamming filter, exact cosine verify."""
+    planes = ann.hyperplanes(dim, n_planes, seed)
+
+    def sig_expr(vec_sql: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec_sql}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.1 ELSE x END) AS v
+  FROM base WHERE vec_id < 20),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+sigs AS (SELECT vec_id, v, {sig_expr('v')} AS sig FROM allv),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.v, b.v) AS cosine
+  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming})
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM cand WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@q("dedup_embedding", _emb_near_oracle())
+def dedup_embedding_q(spark, sf_dir):
+    """Embedding-cosine near-dup detection: LSH sign-bit candidates
+    (pigeonhole chunk join, bounded keys) + exact JVM cosine verify.
+    Twenty perturbed duplicates are planted deterministically (component
+    1 shifted by +0.1) so the operator has real near-pairs to find; the
+    oracle reproduces the identical plant + LSH + verify pipeline."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planted = base.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(v, (x, i) -> CASE WHEN i = 0 THEN x + 0.1D ELSE x END)"
+        ).alias("v"),
+    )
+    allv = base.unionByName(planted)
+    out = dedup.embedding_near_pairs(
+        allv, threshold=0.95, id_col="vec_id", vec_col="v",
+        n_planes=12, max_hamming=2,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
 # =====================================================================
 # Similarity search over embeddings (operators/ann.py)
 # =====================================================================
