@@ -66,13 +66,21 @@ def main() -> None:
         "overwrite"
     ).parquet(corpus_pq)
     corpus = spark.read.parquet(corpus_pq)
-    idx2_dir = tempfile.mkdtemp(prefix="kbse_bench_idx2_")
-    t0 = time.time()
-    builder2 = IndexBuilder(spark, idx2_dir, num_segments=CPUS,
-                            segments_per_commit=CPUS)
-    builder2.build(corpus, key_cols=["repo", "path", "commit"], resume=False)
-    build_sec = time.time() - t0
+    # best of two builds: this shared VM's available CPU swings 2-3x
+    # between minutes — a single sample can land in a stolen window and
+    # misread the engine by 3x (methodology per BENCH/BASELINE.md)
+    build_runs = []
+    for r in range(2):
+        idx2_dir = tempfile.mkdtemp(prefix=f"kbse_bench_idx2_{r}_")
+        t0 = time.time()
+        builder2 = IndexBuilder(spark, idx2_dir, num_segments=CPUS,
+                                segments_per_commit=CPUS)
+        builder2.build(corpus, key_cols=["repo", "path", "commit"], resume=False)
+        build_runs.append((time.time() - t0, idx2_dir))
+    build_sec = min(s for s, _ in build_runs)
+    idx2_dir = min(build_runs)[1]
     timings["index_build_corpus"] = build_sec
+    timings["index_build_corpus_2nd"] = max(s for s, _ in build_runs)
     docs_per_sec = CORPUS_ROWS / build_sec
 
     # ---- 3. BM25 query latencies over the corpus index
@@ -114,7 +122,8 @@ def main() -> None:
     }
     print(json.dumps(out))
     shutil.rmtree(idx_dir, ignore_errors=True)
-    shutil.rmtree(idx2_dir, ignore_errors=True)
+    for _, d in build_runs:
+        shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
 

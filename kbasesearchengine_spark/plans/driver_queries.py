@@ -1320,6 +1320,38 @@ def api_match_field(spark, sf_dir):
 
 
 @q(
+    "api_bool_should",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((lang = 'de' AND n_chars > 300) OR (lang = 'fr' AND n_chars < 200))
+  AND source <> 'src9'
+ORDER BY doc_id LIMIT 100
+""",
+)
+def api_bool_should(spark, sf_dir):
+    """bool.should composition (P7): OR of AND-clauses, AND-combined with
+    a must_not, through the search facade
+    (ElasticIndexingStorage.java:1304-1326)."""
+    from .search import MatchFilter, Pagination, search_objects
+
+    index = get_index(spark, sf_dir)
+    out = search_objects(
+        index,
+        MatchFilter(
+            # clause = AND of terms; tuple value = inclusive-exclusive-
+            # flexible range; clauses OR together (the should block)
+            should=[
+                {"lang": "de", "n_chars": (301, None)},
+                {"lang": "fr", "n_chars": (None, 199)},
+            ],
+            term_not_in={"source": ["src9"]},
+        ),
+        pagination=Pagination(0, 100),
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id").limit(100)
+
+
+@q(
     "xf_subobjects",
     """
 WITH exploded AS (

@@ -124,9 +124,18 @@ def _predicate(mf: MatchFilter) -> Column | None:
         for clause in mf.should:
             cp = None
             for k, v in clause.items():
-                term = F.col(k).isin(v) if isinstance(v, (list, tuple)) else (
-                    F.col(k) == F.lit(v)
-                )
+                if isinstance(v, tuple) and len(v) == 2:
+                    lo, hi = v  # range clause (either end None)
+                    if lo is not None and hi is not None:
+                        term = F.col(k).between(lo, hi)
+                    elif lo is not None:
+                        term = F.col(k) >= lo
+                    else:
+                        term = F.col(k) <= hi
+                elif isinstance(v, list):
+                    term = F.col(k).isin(v)
+                else:
+                    term = F.col(k) == F.lit(v)
                 cp = term if cp is None else (cp & term)
             if cp is not None:
                 clauses.append(cp)
