@@ -1320,6 +1320,62 @@ def api_match_field(spark, sf_dir):
 
 
 @q(
+    "xf_values_location",
+    """
+WITH src AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 2 = 0 THEN '+' ELSE '-' END AS strand
+  FROM documents WHERE doc_id < 40)
+SELECT doc_id,
+       source AS loc_contig,
+       CASE WHEN strand = '+' THEN n_chars
+            ELSE n_chars - 10 + 1 END AS loc_start,
+       CASE WHEN strand = '+' THEN n_chars + 10 - 1
+            ELSE n_chars END AS loc_stop,
+       lang || ',' || source AS flat_str,
+       2::BIGINT AS n_flat
+FROM src ORDER BY doc_id
+""",
+)
+def xf_values_location(spark, sf_dir):
+    """T4 location destructure (strand-dependent start/stop arithmetic,
+    KeywordParser.java:331-371), T3 values flatten and G2 {size} — driven
+    through the Rule system over synthesized nested columns."""
+    from ..functions.transforms import Rule, apply_rules
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 40)
+        .withColumn(
+            "loc",
+            F.array(
+                F.col("source"),
+                F.col("n_chars").cast("string"),
+                F.when(F.col("doc_id") % 2 == 0, "+").otherwise("-"),
+                F.lit("10"),
+            ),
+        )
+        .withColumn("nested", F.array(F.array(F.col("lang"), F.col("source"))))
+    )
+    rules = [
+        Rule("loc_contig", path="loc", transform="location.contig_id"),
+        Rule("loc_start", path="loc", transform="location.start"),
+        Rule("loc_stop", path="loc", transform="location.stop"),
+        Rule("flat", path="nested", transform="values"),        # T3
+        Rule("n_flat", source_key="flat", transform="size"),    # G2 {size}
+    ]
+    out = apply_rules(d, rules)
+    return (
+        out.select(
+            "doc_id", "loc_contig", "loc_start", "loc_stop",
+            F.concat_ws(",", "flat").alias("flat_str"),
+            "n_flat",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "api_bool_should",
     """
 SELECT doc_id, lang, n_chars FROM documents
