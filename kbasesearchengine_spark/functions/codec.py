@@ -112,6 +112,14 @@ def encode_grouped(
     lens = ends - starts
     gidx = np.repeat(np.arange(n_groups), lens)
 
+    # block starts at every (within-group pos % B == 0) — computed first:
+    # the byte-offset emission below needs them per stream
+    within = np.arange(n, dtype=np.int64) - starts[gidx]
+    bstarts = np.flatnonzero(within % block_size == 0)
+    blocks_per_group = (lens + block_size - 1) // block_size
+    goff = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(blocks_per_group, out=goff[1:])
+
     # delta-encode doc ids with per-group reset
     d = doc.copy()
     d[1:] = doc[1:] - doc[:-1]
@@ -126,10 +134,16 @@ def encode_grouped(
         out[name] = [
             buf[boff[s]:boff[e]] for s, e in zip(starts, ends)
         ]
+        # per-block byte offsets RELATIVE to the group's blob start — the
+        # lazy-decode index (wand.py): a block's bytes are
+        # blob[off[j] : off[j+1]] (last block ends at len(blob)), so
+        # query-time pruning skips DECODING, not just scoring
+        off_global = boff[bstarts]
+        out[f"block_{'doc' if name == 'doc_ids' else name[:-1]}_off"] = [
+            (off_global[goff[i]:goff[i + 1]] - boff[starts[i]]).tolist()
+            for i in range(n_groups)
+        ]
 
-    # block metadata: block starts at every (within-group pos % B == 0)
-    within = np.arange(n, dtype=np.int64) - starts[gidx]
-    bstarts = np.flatnonzero(within % block_size == 0)
     bends = np.append(bstarts[1:], n) - 1
     bmax_tf = (
         np.maximum.reduceat(tf, bstarts).astype(np.int64)
@@ -140,9 +154,6 @@ def encode_grouped(
         if n else np.empty(0, dtype=np.int64)
     )
     blast = doc[bends].astype(np.int64) if n else np.empty(0, dtype=np.int64)
-    blocks_per_group = (lens + block_size - 1) // block_size
-    goff = np.zeros(n_groups + 1, dtype=np.int64)
-    np.cumsum(blocks_per_group, out=goff[1:])
     out["block_last"] = [
         blast[goff[i]:goff[i + 1]].tolist() for i in range(n_groups)
     ]

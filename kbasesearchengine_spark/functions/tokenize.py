@@ -58,6 +58,18 @@ def tokenize_expr(col) -> "F.Column":
     )
 
 
+def hash_tokens_expr(col) -> "F.Column":
+    """JVM-side tokenize-and-hash: ``transform(tokens, t -> xxhash64(t))``
+    -> ``array<bigint>``. The index-build hot path ships THIS across the
+    Arrow boundary instead of ``array<string>``: pyarrow converts
+    ``list<int64>`` to contiguous numpy int64 arrays — zero per-token
+    Python objects, and the kernel's tf-aggregation factorizes 8-byte
+    ints instead of hashing Python strings (the round-2 scaling
+    bottleneck). Query terms are hashed driver-side with the compatible
+    pure-Python XXH64 (functions/hashing.py)."""
+    return F.transform(tokenize_expr(col), lambda t: F.xxhash64(t))
+
+
 def token_count_expr(col) -> "F.Column":
     """JVM-side doc length (dl): regexp_count of the token pattern — no
     array materialization at all (0.7s vs 31s for size(split(...)) on the

@@ -203,6 +203,7 @@ def embedding_near_pairs(
     n_planes: int = 12,
     max_hamming: int = 2,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
     threshold).
@@ -214,15 +215,20 @@ def embedding_near_pairs(
     signatures differ in ≤ max_hamming bits, generated by a pigeonhole
     chunk join (bounded keys, no O(n²) crossJoin). Exact cosine verify on
     candidates, all in JVM higher-order functions.
-    """
-    from itertools import combinations
 
+    The pigeonhole join can emit the same pair from several chunk tables;
+    the dedup ``.distinct()`` runs on bare (id_a, id_b) pairs BEFORE the
+    vectors are joined back for the cosine verify — at 768-dim × 10⁹ rows
+    the distinct exchange must not carry vector payloads.
+
+    dim: vector width. Pass it when known (at 100 TB the embedding width
+    is part of the table contract); if None, one `.first()` action probes
+    it from the data.
+    """
     from .ann import hyperplanes, lsh_bucket_col
 
-    # rows with the signature (dim taken from the data at plan time is not
-    # possible without an action; require fixed-width vectors — standard
-    # for an embedding column)
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     sig = emb.select(
         F.col(id_col).alias("id"),
@@ -246,17 +252,27 @@ def embedding_near_pairs(
             for c in range(n_chunks)
         ]
     )
-    allc = sig.select("id", "v", "sig", F.explode(keys).alias("k")).select(
-        "id", "v", "sig", F.col("k.tbl").alias("tbl"), F.col("k.ckey").alias("ckey")
+    # candidate stream carries ONLY (id, sig, chunk key) — vectors stay out
+    # of the pigeonhole join and the dedup exchange entirely
+    allc = sig.select("id", "sig", F.explode(keys).alias("k")).select(
+        "id", "sig", F.col("k.tbl").alias("tbl"), F.col("k.ckey").alias("ckey")
     )
     a = allc.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("sig").alias("sig_a"), "tbl", "ckey",
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "tbl", "ckey"
     )
     b = allc.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("sig").alias("sig_b"), "tbl", "ckey",
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "tbl", "ckey"
     )
+    cand = (
+        a.join(b, ["tbl", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .distinct()  # 16-byte pairs through the exchange, not 2 vectors
+    )
+
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -265,14 +281,12 @@ def embedding_near_pairs(
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
+    vecs = sig.select("id", "v")
     return (
-        a.join(b, ["tbl", "ckey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
-        )
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+                  "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+              "id_b")
         .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("cosine"))

@@ -11,14 +11,14 @@ Physical design (built for 100 TB, tested on local[32]):
   corpus ──assign_doc_ids──► docs(doc_id, keys…, lang, sha256, dl, segment)
           (dense, partition-invariant: doc_id = rank over sorted keys)
   docs ──agg──► stats(N, avgdl)                       [tiny, broadcast]
-  docs ──repartitionByRange(segment, doc_id)──mapInPandas(tokenize +
-         tf-aggregate + lexsort + compress)──► postings(segment, term, df,
-         doc_ids␣Δvarint, tfs␣varint, dls␣varint,
-         block_last/block_max_tf/block_min_dl)
+  docs ──repartitionByRange(segment, doc_id)──mapInPandas(JVM tokenize+
+         xxhash64 → int64 tf-aggregate + sort + compress)──►
+         postings(segment, term_hash, df, doc_ids␣Δvarint, tfs␣varint,
+         dls␣varint, block_last/block_max_tf/block_min_dl)
           [build_postings_from_docs — the DEFAULT one-shuffle RAM-buffer
            build, the Lucene flush model; memory bound = partition's doc
            budget, consolidated later by the merge stage]
-  postings ──groupBy(term).agg(sum df)──► terms(term, df)
+  postings ──groupBy(term_hash).agg(sum df)──► terms(term_hash, df)
 
 An alternative sort-based two-stage path (tokenize_tf + build_postings:
 explode (doc,term,tf) rows, shuffle on (segment, term), in-JVM spill sort,
@@ -50,19 +50,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codec import encode_grouped
-from ..functions.tokenize import token_count_expr, tokenize_expr
+from ..functions.tokenize import hash_tokens_expr, token_count_expr
 
 BLOCK_SIZE = 128  # postings per block-max block
-FORMAT_VERSION = 3  # bump on any index layout/schema change
+_OFFSETS_LITERAL_MAX = 4096  # partition-offset literal-array plan cutover
+FORMAT_VERSION = 4  # bump on any index layout/schema change
 # v3: docs/ partitioned by segment (partition-pruned reads; idempotent
 #     incremental adds + merge write-back), terms/ partitioned by batch
 #     (each add contributes its own partition — O(new) increments, global
 #     df aggregated lazily at read time), stats carries max_doc_id/total_dl
+# v4: postings + terms keyed by term_hash (bigint, Spark xxhash64 of the
+#     token, hashed JVM-side inside the tokenize transform) instead of the
+#     term string. The Arrow boundary ships array<bigint> — no per-token
+#     Python strings anywhere in the build; parquet pushdown on int64 is
+#     cheaper than string at query time; query terms are hashed
+#     driver-side by the compatible pure-Python XXH64
+#     (functions/hashing.py; collision bound documented there).
 
 POSTING_SCHEMA = (
-    "segment int, term string, df int, doc_ids binary, tfs binary, "
+    "segment int, term_hash bigint, df int, doc_ids binary, tfs binary, "
     "dls binary, block_last array<bigint>, block_max_tf array<bigint>, "
-    "block_min_dl array<bigint>"
+    "block_min_dl array<bigint>, block_doc_off array<bigint>, "
+    "block_tf_off array<bigint>, block_dl_off array<bigint>"
 )
 
 
@@ -116,25 +125,43 @@ def assign_doc_ids(
     # comes from monotonically_increasing_id's low 33 bits (its contract:
     # partition id in the high bits, per-partition record number in the
     # low 33); evaluated over the persisted sorted partitions it counts
-    # rows in sorted order. element_at on a literal array = O(1) offset
-    # lookup, whole-stage codegen.
-    offsets_arr = F.array(
-        *[F.lit(offsets.get(p, 0)).cast("bigint") for p in range(len(offsets))]
-    )
+    # rows in sorted order. Up to _OFFSETS_LITERAL_MAX partitions the
+    # offset lookup is element_at on a literal array (O(1), whole-stage
+    # codegen); past that the literal plan itself becomes the bottleneck
+    # (expression-tree size), so a broadcast hash join on _pid takes over
+    # — streaming per partition, so the within-partition row order (and
+    # hence the id sequence) is unchanged. Equality of the two paths is
+    # asserted in tests.
+    seq = F.monotonically_increasing_id() % F.lit(1 << 33)
     keep = [c for c in sorted_df.columns if c != "_pid"]
-    if offsets:
-        result = sorted_df.select(
-            *keep,
-            (
-                F.element_at(offsets_arr, F.col("_pid").cast("int") + 1)
-                + (F.monotonically_increasing_id() % F.lit(1 << 33))
-            ).alias("doc_id"),
-        )
-    else:  # empty input: keep the schema, zero rows
+    if not offsets:  # empty input: keep the schema, zero rows
         result = (
             sorted_df.select(*keep)
             .withColumn("doc_id", F.lit(0).cast("bigint"))
             .limit(0)
+        )
+    elif len(offsets) <= _OFFSETS_LITERAL_MAX:
+        offsets_arr = F.array(
+            *[
+                F.lit(offsets.get(p, 0)).cast("bigint")
+                for p in range(len(offsets))
+            ]
+        )
+        result = sorted_df.select(
+            *keep,
+            (
+                F.element_at(offsets_arr, F.col("_pid").cast("int") + 1)
+                + seq
+            ).alias("doc_id"),
+        )
+    else:
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_pid int, _off bigint",
+        )
+        result = (
+            sorted_df.join(F.broadcast(off_df), "_pid")
+            .select(*keep, (F.col("_off") + seq).alias("doc_id"))
         )
     # expose the persisted sort cache so the caller can unpersist it once
     # the downstream frame is materialized (it's a full raw-corpus copy in
@@ -198,20 +225,21 @@ def compute_stats(docs: DataFrame) -> dict:
 
 
 def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """(doc_id, segment, term, tf, dl) — tf aggregated inside the Arrow
-    batch, so the shuffle moves one row per distinct (doc, term), not one
-    per token occurrence (map-side combine before the exchange).
+    """(doc_id, segment, term_hash, tf, dl) — tf aggregated inside the
+    Arrow batch, so the shuffle moves one row per distinct (doc, term),
+    not one per token occurrence (map-side combine before the exchange).
 
-    Tokenization happens JVM-side (tokenize_expr, whole-stage codegen);
-    the Arrow boundary carries pre-split token arrays and Python only does
-    whole-array numpy aggregation — no per-row Python (input_hint)."""
+    Tokenize AND hash happen JVM-side (hash_tokens_expr, whole-stage
+    codegen); the Arrow boundary carries int64 hash arrays and Python only
+    does whole-array numpy aggregation — no per-row Python, no per-token
+    Python objects at all (input_hint)."""
     src = docs.select(
-        "doc_id", "segment", "dl", tokenize_expr(text_col).alias("_toks")
+        "doc_id", "segment", "dl", hash_tokens_expr(text_col).alias("_toks")
     )
 
     def explode_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks_list = pdf["_toks"]  # Series of numpy object arrays
+            toks_list = pdf["_toks"]  # Series of numpy int64 arrays
             lens = np.fromiter(
                 (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
             )
@@ -219,26 +247,27 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
                 continue
             ridx = np.repeat(np.arange(len(toks_list)), lens)
             flat = np.concatenate([t for t in toks_list if len(t)])
-            # integer-key tf aggregation: factorize terms once, then one
-            # np.unique over composite (row, term) int64 keys — no object
-            # hashing in the group step
-            codes, uniq_terms = pd.factorize(flat, sort=False)
-            key = ridx * np.int64(len(uniq_terms)) + codes
+            # integer-key tf aggregation: factorize the int64 hashes once
+            # (vectorized int hashing), then one np.unique over composite
+            # (row, term) int64 keys — no object hashing anywhere
+            codes, uniq_hashes = pd.factorize(flat, sort=False)
+            key = ridx * np.int64(len(uniq_hashes)) + codes
             ukey, counts = np.unique(key, return_counts=True)
-            rr = (ukey // len(uniq_terms)).astype(np.int64)
-            tcode = (ukey % len(uniq_terms)).astype(np.int64)
+            rr = (ukey // len(uniq_hashes)).astype(np.int64)
+            tcode = (ukey % len(uniq_hashes)).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy()[rr],
                     "segment": pdf["segment"].to_numpy()[rr].astype(np.int32),
-                    "term": np.asarray(uniq_terms, dtype=object)[tcode],
+                    "term_hash": np.asarray(uniq_hashes, dtype=np.int64)[tcode],
                     "tf": counts.astype(np.int32),
                     "dl": pdf["dl"].to_numpy()[rr].astype(np.int32),
                 }
             )
 
     return src.mapInPandas(
-        explode_tf, schema="doc_id bigint, segment int, term string, tf int, dl int"
+        explode_tf,
+        schema="doc_id bigint, segment int, term_hash bigint, tf int, dl int",
     )
 
 
@@ -248,7 +277,7 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
 def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     """Encode one sorted run of token rows into posting rows.
 
-    pdf is sorted by (segment, term, doc_id). All arithmetic (group
+    pdf is sorted by (segment, term_hash, doc_id). All arithmetic (group
     boundaries, delta, varint byte scatter, block maxima) is whole-array;
     per-group Python is reduced to buffer slicing (codec.encode_grouped).
     """
@@ -256,12 +285,13 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     if n == 0:
         return pd.DataFrame(
             columns=[
-                "segment", "term", "df", "doc_ids", "tfs", "dls",
+                "segment", "term_hash", "df", "doc_ids", "tfs", "dls",
                 "block_last", "block_max_tf", "block_min_dl",
+                "block_doc_off", "block_tf_off", "block_dl_off",
             ]
         )
     seg = pdf["segment"].to_numpy()
-    term = pdf["term"].to_numpy()
+    term = pdf["term_hash"].to_numpy()
     doc = pdf["doc_id"].to_numpy().astype(np.uint64)
     tf = pdf["tf"].to_numpy().astype(np.uint64)
     dl = pdf["dl"].to_numpy().astype(np.uint64)
@@ -274,7 +304,7 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "segment": seg[starts].astype(np.int32),
-            "term": term[starts],
+            "term_hash": term[starts].astype(np.int64),
             "df": (ends - starts).astype(np.int32),
             "doc_ids": enc["doc_ids"],
             "tfs": enc["tfs"],
@@ -282,6 +312,9 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
             "block_last": enc["block_last"],
             "block_max_tf": enc["block_max_tf"],
             "block_min_dl": enc["block_min_dl"],
+            "block_doc_off": enc["block_doc_off"],
+            "block_tf_off": enc["block_tf_off"],
+            "block_dl_off": enc["block_dl_off"],
         }
     )
 
@@ -298,9 +331,9 @@ def build_postings(
     spark = tokens.sparkSession
     nump = shuffle_partitions or spark.sparkContext.defaultParallelism
 
-    arranged = tokens.repartition(nump, "segment", "term").sortWithinPartitions(
-        "segment", "term", "doc_id"
-    )
+    arranged = tokens.repartition(
+        nump, "segment", "term_hash"
+    ).sortWithinPartitions("segment", "term_hash", "doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -310,7 +343,7 @@ def build_postings(
             if len(pdf) == 0:
                 continue
             seg = pdf["segment"].to_numpy()
-            term = pdf["term"].to_numpy()
+            term = pdf["term_hash"].to_numpy()
             # hold back the (possibly incomplete) trailing group
             last_seg, last_term = seg[-1], term[-1]
             tail_start = len(pdf)
@@ -357,31 +390,32 @@ def build_postings_from_docs(
         src = src.repartitionByRange(nump, "segment", "doc_id").sortWithinPartitions(
             "segment", "doc_id"
         )
-    # tokenize JVM-side (codegen'd split+filter) AFTER the shuffle — raw
-    # text moves over the exchange, not token arrays; the Arrow boundary
-    # then carries pre-split tokens and the Python kernel is whole-array
-    # numpy only (no per-row Python, per the north rule)
+    # tokenize AND hash JVM-side (codegen'd regexp + xxhash64 transform)
+    # AFTER the shuffle — raw text moves over the exchange, not token
+    # arrays; the Arrow boundary then carries int64 hash arrays (pyarrow
+    # -> contiguous numpy, zero Python objects) and the kernel is
+    # whole-array numpy only (no per-row Python, per the north rule)
     src = src.select(
-        "doc_id", "segment", "dl", tokenize_expr("_text").alias("_toks")
+        "doc_id", "segment", "dl", hash_tokens_expr("_text").alias("_toks")
     )
 
     FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.5 GB arrays)
 
-    def _flush(seg_l, doc_l, dl_l, tf_l, code_l, vocab_list):
+    def _flush(seg_l, doc_l, dl_l, tf_l, code_l):
         seg = np.concatenate(seg_l)
         doc = np.concatenate(doc_l)
         dl = np.concatenate(dl_l)
         tf = np.concatenate(tf_l)
         codes = np.concatenate(code_l)
         # input rows are already in (segment, doc) order — a STABLE sort by
-        # term code alone yields contiguous (term, segment, doc) runs (one
-        # int sort). Codes are PARTITION-GLOBAL (the vocab dict below), so
-        # the buffered state between batches is pure int64 — no object
-        # arrays held, nothing re-hashed at flush time. (The earlier
-        # design re-factorized the concatenated string column here: ~60
-        # bytes/ref of object traffic and a full re-hash per flush — the
-        # single biggest memory-bandwidth cost in the build, and the main
-        # reason kernel scaling capped at ~0.5 across cores.)
+        # term hash alone yields contiguous (term, segment, doc) runs (one
+        # int sort). Codes are the GLOBAL xxhash64 term hashes, so the
+        # buffered state between batches is pure int64 — no object arrays
+        # held, nothing re-hashed at flush time, and no per-partition
+        # vocab dict at all. (The round-1 design re-factorized a string
+        # column here — the single biggest memory-bandwidth cost in the
+        # build; round 2 kept a string->code dict; v4 removes strings from
+        # the kernel entirely.)
         order = np.argsort(codes, kind="stable")
         seg, doc, dl, tf, codes = (
             seg[order], doc[order], dl[order], tf[order], codes[order]
@@ -395,11 +429,10 @@ def build_postings_from_docs(
             doc.astype(np.uint64), tf.astype(np.uint64), dl.astype(np.uint64),
             starts, ends, BLOCK_SIZE,
         )
-        vocab_arr = np.asarray(vocab_list, dtype=object)
         return pd.DataFrame(
             {
                 "segment": seg[starts].astype(np.int32),
-                "term": vocab_arr[codes[starts]],
+                "term_hash": codes[starts].astype(np.int64),
                 "df": (ends - starts).astype(np.int32),
                 "doc_ids": enc["doc_ids"],
                 "tfs": enc["tfs"],
@@ -407,16 +440,17 @@ def build_postings_from_docs(
                 "block_last": enc["block_last"],
                 "block_max_tf": enc["block_max_tf"],
                 "block_min_dl": enc["block_min_dl"],
+                "block_doc_off": enc["block_doc_off"],
+                "block_tf_off": enc["block_tf_off"],
+                "block_dl_off": enc["block_dl_off"],
             }
         )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seg_l, doc_l, dl_l, tf_l, code_l = [], [], [], [], []
-        vocab: dict = {}        # term -> partition-global int code
-        vocab_list: list = []   # code -> term
         pending = 0
         for pdf in batches:
-            toks_list = pdf["_toks"]  # Series of numpy object arrays
+            toks_list = pdf["_toks"]  # Series of numpy int64 arrays
             lens = np.fromiter(
                 (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
             )
@@ -424,45 +458,43 @@ def build_postings_from_docs(
                 continue
             ridx = np.repeat(np.arange(len(toks_list)), lens)
             flat = np.concatenate([t for t in toks_list if len(t)])
-            codes, uniq_terms = pd.factorize(flat, sort=False)
-            key = ridx * np.int64(len(uniq_terms)) + codes
+            # tf aggregation on int64 hashes: factorize (vectorized int
+            # hashing — no Python-object traffic), then one np.unique
+            # over composite (row, term) int64 keys
+            codes, uniq_hashes = pd.factorize(flat, sort=False)
+            key = ridx * np.int64(len(uniq_hashes)) + codes
             ukey, counts = np.unique(key, return_counts=True)
-            rr = (ukey // len(uniq_terms)).astype(np.int64)
-            tcode = (ukey % len(uniq_terms)).astype(np.int64)
-            # batch-local -> partition-global codes: dict ops over the
-            # batch's DISTINCT terms only (a few k), never per token
-            remap = np.empty(len(uniq_terms), dtype=np.int64)
-            for i, t in enumerate(uniq_terms):
-                c = vocab.get(t)
-                if c is None:
-                    c = len(vocab_list)
-                    vocab[t] = c
-                    vocab_list.append(t)
-                remap[i] = c
+            rr = (ukey // len(uniq_hashes)).astype(np.int64)
+            tcode = (ukey % len(uniq_hashes)).astype(np.int64)
             seg_l.append(pdf["segment"].to_numpy()[rr].astype(np.int32))
             doc_l.append(pdf["doc_id"].to_numpy()[rr])
             dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int64))
             tf_l.append(counts.astype(np.int64))
-            code_l.append(remap[tcode])
+            code_l.append(np.asarray(uniq_hashes, dtype=np.int64)[tcode])
             pending += len(ukey)
             if pending >= FLUSH_PAIRS:
                 # RAM-buffer flush (Lucene-style): emit a sub-range of the
                 # partition as posting rows; readers merge split rows
-                yield _flush(seg_l, doc_l, dl_l, tf_l, code_l, vocab_list)
+                yield _flush(seg_l, doc_l, dl_l, tf_l, code_l)
                 seg_l, doc_l, dl_l, tf_l, code_l = [], [], [], [], []
                 pending = 0
         if seg_l:
-            yield _flush(seg_l, doc_l, dl_l, tf_l, code_l, vocab_list)
+            yield _flush(seg_l, doc_l, dl_l, tf_l, code_l)
 
     return src.mapInPandas(build, schema=POSTING_SCHEMA)
 
 
 def build_terms(postings: DataFrame) -> DataFrame:
-    """Global term dictionary: df (and collection frequency is derivable).
+    """Global term-hash dictionary: df per term_hash (collection frequency
+    is derivable). groupBy with a pre-aggregated input (one row per
+    (segment, term)) — partial aggregation makes stopwords harmless here.
 
-    groupBy(term) with a pre-aggregated input (one row per (segment, term))
-    — partial aggregation makes stopwords harmless here."""
-    return postings.groupBy("term").agg(F.sum("df").alias("df"))
+    Strings are intentionally absent (v4): BM25 only needs (hash -> df);
+    query terms are hashed driver-side (functions/hashing.py). A
+    human-readable vocab table can be derived offline with one JVM pass
+    (explode(array_distinct(tokens)) + groupBy) when term browsing is
+    needed — it is not on the build or query hot path."""
+    return postings.groupBy("term_hash").agg(F.sum("df").alias("df"))
 
 
 # ---------------------------------------------------------------- full build
@@ -699,9 +731,11 @@ class IndexBuilder:
                 os.path.join(self.index_dir, "terms")
             )
             if stats["n_docs"] == 0:
-                spark.createDataFrame([], "term string, df bigint").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(self.index_dir, "terms", "batch=0"))
+                spark.createDataFrame(
+                    [], "term_hash bigint, df bigint"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.index_dir, "terms", "batch=0")
+                )
             self.write_marker("terms", {"seconds": time.time() - t0})
 
         if cached_docs is not None:
@@ -791,7 +825,78 @@ def build_from_spec(
     return stats
 
 
-# ----------------------------------------------------------------增 incremental
+def build_versioned_from_spec(
+    spark: SparkSession,
+    base_dir: str,
+    objects: DataFrame,
+    spec,
+    key_cols: list[str],
+    version_router,
+    json_col: str | None = None,
+    num_segments: int = 4,
+) -> dict:
+    """Type-version PHYSICAL coexistence: one index per spec version under
+    ``<base_dir>/v<N>/`` — the naming analog of the reference's
+    ``prefix + type + "_" + version`` per-(type,version) ES indexes
+    (ElasticIndexingStorage.java:297-302), whose coexistence of
+    INCOMPATIBLE versions is proven by testTypeVersions
+    (ElasticIndexingStorageTest.java:961-1014).
+
+    version_router: a Column expression assigning each object row its
+    search-type version (the TypeMapping routing of typespec.resolve_rules
+    expressed over the data). Each version's objects are extracted with
+    THAT version's rules and built into their own physical index —
+    different key sets never share a file. Returns {version: stats}.
+    """
+    routed = objects.withColumn("_spec_version", version_router)
+    versions = sorted(
+        int(r[0])
+        for r in routed.select("_spec_version").distinct().collect()
+        if r[0] is not None
+    )
+    out = {}
+    for v in versions:
+        out[v] = build_from_spec(
+            spark,
+            os.path.join(base_dir, f"v{v}"),
+            routed.where(F.col("_spec_version") == v).drop("_spec_version"),
+            spec,
+            key_cols,
+            version=v,
+            json_col=json_col,
+            num_segments=num_segments,
+        )
+    return out
+
+
+def union_version_docs(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Search across coexisting versions — the ES index-pattern scan over
+    ``type_*`` (P9 analog applied to versions): union the per-version
+    docs tables BY NAME with null-filling for keys a version does not
+    define (unionByName(allowMissingColumns) — incompatible schemas
+    coexist, exactly the testTypeVersions invariant). Each row carries
+    its ``spec_version``; (spec_version, doc_id) is the unique key.
+    """
+    from functools import reduce
+
+    vdirs = sorted(
+        e.name for e in os.scandir(base_dir)
+        if e.is_dir() and e.name.startswith("v") and e.name[1:].isdigit()
+    )
+    if not vdirs:
+        raise FileNotFoundError(f"no version indexes under {base_dir}")
+    frames = [
+        spark.read.parquet(os.path.join(base_dir, d, "docs")).withColumn(
+            "spec_version", F.lit(int(d[1:]))
+        )
+        for d in vdirs
+    ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
+# ---------------------------------------------------------------- incremental
 
 
 def add_documents(

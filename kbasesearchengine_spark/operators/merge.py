@@ -13,7 +13,6 @@ bounded groups (total postings of the merged segments per term).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Mapping
 
 import numpy as np
@@ -21,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.codec import delta_decode, delta_encode, varint_decode, varint_encode
+from ..functions.codec import delta_decode, encode_grouped, varint_decode
 from .indexer import BLOCK_SIZE, POSTING_SCHEMA
 
 
@@ -43,7 +42,7 @@ def merge_postings(
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         new_seg = int(pdf["new_segment"].iloc[0])
-        term = pdf["term"].iloc[0]
+        term = int(pdf["term_hash"].iloc[0])
         parts = [
             (
                 delta_decode(bytes(r["doc_ids"])),
@@ -57,35 +56,35 @@ def merge_postings(
         # build partitions) — order by first doc id
         parts.sort(key=lambda p: int(p[0][0]))
         ids = np.concatenate([p[0] for p in parts]).astype(np.uint64)
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts]).astype(np.uint64)
+        dls = np.concatenate([p[2] for p in parts]).astype(np.uint64)
         assert np.all(np.diff(ids.astype(np.int64)) > 0), "overlapping segments"
         n = len(ids)
-        nb = math.ceil(n / BLOCK_SIZE)
-        bl = [int(ids[min((i + 1) * BLOCK_SIZE, n) - 1]) for i in range(nb)]
-        bmax_tf = [
-            int(np.max(tfs[i * BLOCK_SIZE: min((i + 1) * BLOCK_SIZE, n)]))
-            for i in range(nb)
-        ]
-        bmin_dl = [
-            int(np.min(dls[i * BLOCK_SIZE: min((i + 1) * BLOCK_SIZE, n)]))
-            for i in range(nb)
-        ]
+        # re-encode through the SAME batch encoder the build uses — block
+        # metadata AND lazy-decode byte offsets rebuilt consistently
+        enc = encode_grouped(
+            ids, tfs, dls,
+            np.array([0], dtype=np.int64), np.array([n], dtype=np.int64),
+            BLOCK_SIZE,
+        )
         return pd.DataFrame(
             {
                 "segment": [new_seg],
-                "term": [term],
+                "term_hash": [term],
                 "df": [n],
-                "doc_ids": [delta_encode(ids)],
-                "tfs": [varint_encode(tfs)],
-                "dls": [varint_encode(dls)],
-                "block_last": [bl],
-                "block_max_tf": [bmax_tf],
-                "block_min_dl": [bmin_dl],
+                "doc_ids": enc["doc_ids"],
+                "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "block_last": enc["block_last"],
+                "block_max_tf": enc["block_max_tf"],
+                "block_min_dl": enc["block_min_dl"],
+                "block_doc_off": enc["block_doc_off"],
+                "block_tf_off": enc["block_tf_off"],
+                "block_dl_off": enc["block_dl_off"],
             }
         )
 
-    merged = remapped.groupBy("new_segment", "term").applyInPandas(
+    merged = remapped.groupBy("new_segment", "term_hash").applyInPandas(
         merge_group, schema=POSTING_SCHEMA
     )
     return keep.unionByName(merged)

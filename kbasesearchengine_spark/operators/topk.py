@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_norm
 from ..functions.codec import delta_decode, varint_decode
+from ..functions.hashing import term_hash
 from ..functions.tokenize import tokenize_py, tokenize_udf
 
 
@@ -76,19 +77,25 @@ class InvertedIndex:
 
     @property
     def terms(self) -> DataFrame:
-        """Global term dictionary (term, df). Each incremental add writes
-        its df contribution to its own terms/batch=N partition (O(new)
-        commits); the global df is the lazy sum — a term-filter predicate
-        pushes below this aggregate to the parquet scan (grouping-key
-        pushdown), so point lookups stay pruned."""
+        """Global term dictionary (term_hash, df). Each incremental add
+        writes its df contribution to its own terms/batch=N partition
+        (O(new) commits); the global df is the lazy sum — a hash-filter
+        predicate pushes below this aggregate to the parquet scan
+        (grouping-key pushdown), so point lookups stay pruned. Keys are
+        int64 xxhash64 term hashes (v4 layout) — query strings are hashed
+        driver-side by the Spark-compatible XXH64 (functions/hashing.py),
+        no extra Spark job."""
         t = self._tbl("terms")
         if "batch" in t.columns:
-            t = t.groupBy("term").agg(F.sum("df").alias("df"))
+            t = t.groupBy("term_hash").agg(F.sum("df").alias("df"))
         return t
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        rows = self.terms.where(F.col("term").isin(terms)).collect()
-        return {r["term"]: int(r["df"]) for r in rows}
+        hashes = {term_hash(t): t for t in terms}
+        rows = self.terms.where(
+            F.col("term_hash").isin(list(hashes))
+        ).collect()
+        return {hashes[r["term_hash"]]: int(r["df"]) for r in rows}
 
     def field_index(self, field: str) -> "InvertedIndex":
         """Field-scoped sub-index (P5): per-field postings + per-field
@@ -109,7 +116,7 @@ class InvertedIndex:
 
 def _segment_topk_kernel(
     pdf: pd.DataFrame,
-    idfs: dict[str, float],
+    idfs: dict[int, float],
     avgdl: float,
     k: int,
     mode: str,
@@ -118,10 +125,14 @@ def _segment_topk_kernel(
 ) -> pd.DataFrame:
     """Score one segment's postings for the query terms. Vectorized numpy.
 
-    pdf: posting rows (term, doc_ids, tfs, dls, ...) — one row per term
-    (within one segment). Returns ≤k (doc_id, score) rows.
+    pdf: posting rows (term_hash, doc_ids, tfs, dls, ...) — one row per
+    term (within one segment). idfs is keyed by term_hash and its
+    INSERTION ORDER is the term-lexicographic order of the query terms —
+    that order pins the float reduction order (score contract: summed in
+    sorted-term order, bit-identical at any parallelism). Returns ≤k
+    (doc_id, score) rows.
     """
-    terms = list(pdf["term"])
+    terms = list(pdf["term_hash"])
     n_terms = len(idfs)
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
@@ -139,9 +150,9 @@ def _segment_topk_kernel(
         return wand_topk_segment(pdf, idfs, avgdl, k)
     # a (segment, term) posting can be split across build partitions
     # (disjoint, ordered doc ranges) — merge duplicate term rows
-    parts: dict[str, list] = {}
+    parts: dict[int, list] = {}
     for _, row in pdf.iterrows():
-        parts.setdefault(row["term"], []).append(
+        parts.setdefault(row["term_hash"], []).append(
             (
                 delta_decode(bytes(row["doc_ids"])).astype(np.int64),
                 varint_decode(bytes(row["tfs"])).astype(np.float64),
@@ -157,7 +168,8 @@ def _segment_topk_kernel(
             decoded[t] = tuple(
                 np.concatenate([p[i] for p in ps]) for i in range(3)
             )
-    qterms = sorted(decoded.keys())  # fixed reduction order
+    # fixed reduction order: idfs insertion order = sorted-term order
+    qterms = [h for h in idfs if h in decoded]
     if not qterms:
         # cogrouped segments can have allowed docs but zero query-term
         # posting rows — nothing to score (OR path would otherwise hit
@@ -258,9 +270,13 @@ def topk(
     terms = [t for t in terms if t in dfs]
     if not terms:
         return empty
-    idfs = {t: float(bm25_idf(dfs[t], n)) for t in terms}
+    # keyed by term_hash; insertion order = sorted-term order (terms is
+    # sorted above) — the kernels reduce in this order (score contract)
+    idfs = {term_hash(t): float(bm25_idf(dfs[t], n)) for t in terms}
 
-    postings_q = index.postings.where(F.col("term").isin(terms))
+    postings_q = index.postings.where(
+        F.col("term_hash").isin(list(idfs.keys()))
+    )
 
     bc = spark.sparkContext.broadcast((idfs, avgdl, k, mode))
 

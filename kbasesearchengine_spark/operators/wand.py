@@ -1,4 +1,4 @@
-"""Block-max WAND: top-k pruning over compressed postings.
+"""Block-max WAND: top-k pruning over compressed postings — lazy decode.
 
 The reference gets this from Lucene inside Elasticsearch (per-shard top-k
 heaps + WAND-style skipping — implicit, no reference code; SURVEY §4).
@@ -14,10 +14,20 @@ hostile to numpy), we run a *block-interval sweep*:
     each interval's total upper bound = Σ_t ub of the overlapping block
     of t (0 if t has no block there).
  3. Intervals are processed in DESCENDING total-ub order; each interval's
-    docs are exactly scored (vectorized OR-accumulation over the decoded
+    docs are exactly scored (vectorized OR-accumulation over decoded
     block slices) and pushed into a bounded k-heap. As soon as the next
     interval's ub ≤ current θ (k-th best score), everything left is
-    provably below the heap floor — stop without decoding it.
+    provably below the heap floor — stop.
+
+Decode is LAZY per block (the Lucene skip-list analog): posting blobs
+stay raw bytes; the per-block byte offsets stored at encode time
+(codec.encode_grouped block_*_off) locate each 128-posting block's slice,
+and a block is varint-decoded only when the sweep actually scores an
+interval inside it. Absolute doc ids of block j recover from
+block_last[j-1] + cumsum(gaps) — no prefix decode needed. Pruning
+therefore skips BYTES, not just FLOPs: on a stopword OR query most of
+the stopword's blocks are never decoded (decoded-bytes counter asserted
+in tests/test_wand.py).
 
 This is the same pruning guarantee as block-max WAND (never skips a doc
 that could enter the top-k) with batch-friendly inner loops. Equality
@@ -30,38 +40,105 @@ import numpy as np
 import pandas as pd
 
 from ..functions.bm25 import tf_norm
-from ..functions.codec import delta_decode, varint_decode
+from ..functions.codec import varint_decode
 
 
-def _decode_term(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    ids = delta_decode(bytes(row["doc_ids"])).astype(np.int64)
-    tfs = varint_decode(bytes(row["tfs"])).astype(np.float64)
-    dls = varint_decode(bytes(row["dls"])).astype(np.float64)
-    block_last = np.asarray(row["block_last"], dtype=np.int64)
-    return ids, tfs, dls, block_last
+class _LazyTermPostings:
+    """One query term's posting rows (possibly split across build
+    partitions — disjoint ordered doc ranges), indexed for per-block
+    decode. Only metadata arrays are materialized up front; payload bytes
+    are sliced and decoded per block, memoized."""
 
+    __slots__ = (
+        "rows", "block_row", "block_local", "block_last", "block_start",
+        "ub", "n_blocks", "_cache", "stats",
+    )
 
-def _block_ub(row, avgdl: float) -> np.ndarray:
-    """Per-block tf_norm upper bound from avgdl-independent metadata:
-    tf_norm is increasing in tf and decreasing in dl, so
-    tf_norm(max_tf, min_dl, avgdl) bounds every posting in the block —
-    for the CURRENT avgdl (stays valid after incremental adds)."""
-    max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
-    min_dl = np.asarray(row["block_min_dl"], dtype=np.float64)
-    return tf_norm(max_tf, min_dl, avgdl)
+    def __init__(self, rows: list[dict], avgdl: float, idf: float, stats: dict):
+        # rows sorted by first block_last (disjoint doc ranges)
+        rows = sorted(rows, key=lambda r: int(r["block_last"][0]))
+        self.rows = rows
+        self.stats = stats
+        block_row, block_local, last_l, ub_l = [], [], [], []
+        for ri, r in enumerate(rows):
+            bl = np.asarray(r["block_last"], dtype=np.int64)
+            bmax = np.asarray(r["block_max_tf"], dtype=np.float64)
+            bmin = np.asarray(r["block_min_dl"], dtype=np.float64)
+            block_row.append(np.full(len(bl), ri, dtype=np.int64))
+            block_local.append(np.arange(len(bl), dtype=np.int64))
+            last_l.append(bl)
+            ub_l.append(idf * tf_norm(bmax, bmin, avgdl))
+            stats["total_bytes"] += (
+                len(r["doc_ids"]) + len(r["tfs"]) + len(r["dls"])
+            )
+            stats["total_blocks"] += len(bl)
+        self.block_row = np.concatenate(block_row)
+        self.block_local = np.concatenate(block_local)
+        self.block_last = np.concatenate(last_l)
+        self.ub = np.concatenate(ub_l)
+        self.n_blocks = len(self.block_last)
+        # conservative block starts: previous block's last + 1 (0 for the
+        # very first block — a valid lower bound; looser only for the ub
+        # coverage test, never for scoring, which decodes exact ids)
+        self.block_start = np.empty(self.n_blocks, dtype=np.int64)
+        self.block_start[0] = 0
+        self.block_start[1:] = self.block_last[:-1] + 1
+        self._cache: dict = {}
+
+    def _slice(self, blob: bytes, offs, j: int) -> bytes:
+        lo = int(offs[j])
+        hi = int(offs[j + 1]) if j + 1 < len(offs) else len(blob)
+        return blob[lo:hi]
+
+    def decode_block(self, b: int):
+        """(ids, tfs, dls) of global block b — decoded on first touch."""
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        ri = int(self.block_row[b])
+        j = int(self.block_local[b])
+        r = self.rows[ri]
+        doc_b = self._slice(bytes(r["doc_ids"]), r["block_doc_off"], j)
+        tf_b = self._slice(bytes(r["tfs"]), r["block_tf_off"], j)
+        dl_b = self._slice(bytes(r["dls"]), r["block_dl_off"], j)
+        self.stats["decoded_bytes"] += len(doc_b) + len(tf_b) + len(dl_b)
+        self.stats["decoded_blocks"] += 1
+        gaps = varint_decode(doc_b).astype(np.int64)
+        ids = np.cumsum(gaps)
+        if j > 0:
+            # first gap of a non-first block is relative to the previous
+            # block's last doc (delta stream is contiguous per row)
+            ids += int(r["block_last"][j - 1])
+        out = (
+            ids,
+            varint_decode(tf_b).astype(np.float64),
+            varint_decode(dl_b).astype(np.float64),
+        )
+        self._cache[b] = out
+        return out
 
 
 def wand_topk_segment(
     pdf: pd.DataFrame,
-    idfs: dict[str, float],
+    idfs: dict[int, float],
     avgdl: float,
     k: int,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Disjunctive (OR) block-max top-k for one segment's query postings.
 
-    pdf: posting rows (term, doc_ids, tfs, dls, block_last, block_max).
-    Returns ≤k (doc_id, score) rows, score desc / doc_id asc.
+    pdf: posting rows (term_hash, doc_ids, tfs, dls, block_*). idfs is
+    keyed by term_hash; its insertion order is the term-lexicographic
+    query order, which pins the float reduction order (bit-identical to
+    the exhaustive kernel). stats (optional dict) accumulates
+    decoded/total bytes+blocks — the lazy-decode evidence. Returns ≤k
+    (doc_id, score) rows, score desc / doc_id asc.
     """
+    if stats is None:
+        stats = {}
+    for key in ("decoded_bytes", "total_bytes", "decoded_blocks",
+                "total_blocks"):
+        stats.setdefault(key, 0)
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
          "score": pd.Series([], dtype="float64")}
@@ -69,56 +146,45 @@ def wand_topk_segment(
     if len(pdf) == 0:
         return empty
 
-    # merge duplicate term rows (posting split across build partitions:
-    # disjoint, ordered doc ranges — block arrays concatenate in doc order)
-    by_term: dict[str, list] = {}
+    by_term: dict[int, list] = {}
     for _, row in pdf.iterrows():
-        ids, tfs, dls, block_last = _decode_term(row)
-        if len(ids) == 0:
+        if len(row["block_last"]) == 0:
             continue
-        bmax = _block_ub(row, avgdl)
-        by_term.setdefault(row["term"], []).append(
-            (ids, tfs, dls, block_last, bmax)
-        )
-    # sorted-term iteration pins the float reduction order so WAND and the
-    # exhaustive kernel produce bit-identical OR scores
-    terms = []
-    for t, ps in sorted(by_term.items()):
-        ps.sort(key=lambda p: int(p[0][0]))
-        ids = np.concatenate([p[0] for p in ps])
-        tfs = np.concatenate([p[1] for p in ps])
-        dls = np.concatenate([p[2] for p in ps])
-        block_last = np.concatenate([p[3] for p in ps])
-        ub = np.concatenate([p[4] for p in ps]) * idfs[t]
-        # block start docs: previous block's last + 1 (first block: ids[0])
-        starts = np.empty_like(block_last)
-        starts[0] = ids[0]
-        starts[1:] = block_last[:-1] + 1
-        terms.append((t, ids, tfs, dls, block_last, starts, ub))
+        by_term.setdefault(row["term_hash"], []).append(row)
+    # idfs-order iteration (= sorted-term order) pins the float reduction
+    # order so WAND and the exhaustive kernel produce bit-identical scores
+    terms: list[tuple[_LazyTermPostings, float]] = []
+    for t in idfs:
+        rows = by_term.get(t)
+        if rows:
+            terms.append((_LazyTermPostings(rows, avgdl, idfs[t], stats),
+                          idfs[t]))
+    if not terms:
+        return empty
 
     # elementary intervals: cut doc space at every block boundary
     cuts = np.unique(
         np.concatenate(
-            [s for (_, _, _, _, bl, s, _) in terms]
-            + [bl + 1 for (_, _, _, _, bl, _, _) in terms]
+            [tp.block_start for tp, _ in terms]
+            + [tp.block_last + 1 for tp, _ in terms]
         )
     )
     lo = cuts[:-1]
     hi = cuts[1:] - 1  # inclusive
     total_ub = np.zeros(lo.shape, dtype=np.float64)
-    for (_t, _ids, _tfs, _dls, bl, starts, ub) in terms:
+    for tp, _ in terms:
+        bl, starts, ub = tp.block_last, tp.block_start, tp.ub
         # block covering interval i: first block with last_doc >= lo_i
         bi = np.searchsorted(bl, lo)
-        valid = (bi < len(bl)) & (np.where(bi < len(bl), starts[np.minimum(bi, len(bl) - 1)], 0) <= hi)
-        contrib = np.where(valid, ub[np.minimum(bi, len(ub) - 1)], 0.0)
-        total_ub += contrib
+        safe = np.minimum(bi, len(bl) - 1)
+        valid = (bi < len(bl)) & (starts[safe] <= hi)
+        total_ub += np.where(valid, ub[safe], 0.0)
 
     order = np.argsort(-total_ub, kind="stable")
 
     top_docs = np.empty(0, dtype=np.int64)
     top_scores = np.empty(0, dtype=np.float64)
     theta = -np.inf
-    decoded_blocks = 0
     for i in order:
         if total_ub[i] <= 0:
             break
@@ -127,18 +193,20 @@ def wand_topk_segment(
         # ulp — only skip when provably below the floor
         if len(top_docs) >= k and total_ub[i] < theta - 1e-9:
             break
-        a, b = lo[i], hi[i]
-        # exact OR-scoring of docs in [a, b]
+        a, b = int(lo[i]), int(hi[i])
+        # exact OR-scoring of docs in [a, b]: decode ONLY the covering
+        # block of each term (intervals are elementary — within one block)
         ids_all, contrib_all = [], []
-        for (t, ids, tfs, dls, _bl, _st, _ub) in terms:
-            s = np.searchsorted(ids, a, side="left")
-            e = np.searchsorted(ids, b, side="right")
+        for tp, idf in terms:
+            bi = int(np.searchsorted(tp.block_last, a))
+            if bi >= tp.n_blocks or tp.block_start[bi] > b:
+                continue
+            ids, tfs, dls = tp.decode_block(bi)
+            s = int(np.searchsorted(ids, a, side="left"))
+            e = int(np.searchsorted(ids, b, side="right"))
             if e > s:
-                decoded_blocks += 1
                 ids_all.append(ids[s:e])
-                contrib_all.append(
-                    idfs[t] * tf_norm(tfs[s:e], dls[s:e], avgdl)
-                )
+                contrib_all.append(idf * tf_norm(tfs[s:e], dls[s:e], avgdl))
         if not ids_all:
             continue
         cat = np.concatenate(ids_all)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..operators import ann, dedup, textstats
 from ..operators.indexer import FORMAT_VERSION, IndexBuilder
 from ..operators.topk import InvertedIndex, topk
+from .search import search_objects as search_objects_facade
 from ..functions.tokenize import tokenize_py
 
 QUERIES: dict = {}
@@ -292,11 +293,21 @@ GROUP BY term ORDER BY term
 )
 def ft_df_terms(spark, sf_dir):
     """Term dictionary lookup (G5 index-build aggregation made explicit —
-    what Lucene keeps in its term dictionary)."""
+    what Lucene keeps in its term dictionary). The v4 dictionary is keyed
+    by xxhash64(term) (pushdown-friendly int64); the probe hashes the
+    query strings driver-side and maps the hits back to strings with a
+    literal CASE — same plan shape a point lookup would use at 100 TB."""
+    from kbasesearchengine_spark.functions.hashing import term_hash
+
+    probe = ["spark", "dup", "the", "vector"]
+    h2t = {term_hash(t): t for t in probe}
+    mapping = F.create_map(
+        *[F.lit(x) for h, t in h2t.items() for x in (h, t)]
+    )
     index = get_index(spark, sf_dir)
     return (
-        index.terms.where(F.col("term").isin("spark", "dup", "the", "vector"))
-        .select("term", "df")
+        index.terms.where(F.col("term_hash").isin(list(h2t)))
+        .select(mapping[F.col("term_hash")].alias("term"), "df")
         .orderBy("term")
     )
 
@@ -333,21 +344,27 @@ WITH m AS (
     SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
            '[a-z0-9_]+'))) AS term FROM documents) t
   WHERE term = 'dup')
-SELECT d.doc_id, replace(d.text, 'dup', '<em>dup</em>') AS highlighted
+SELECT d.doc_id,
+       regexp_replace(d.text, '(?i)\\b(dup)\\b', '<em>\\1</em>', 'g')
+         AS highlighted
 FROM documents d JOIN m USING (doc_id) ORDER BY d.doc_id LIMIT 10
 """,
 )
 def ft_highlight(spark, sf_dir):
-    """Highlight (T13): <em>-wrapped matches on returned docs
-    (ElasticIndexingStorage.java:1096-1100; expected format pinned at
-    ElasticIndexingStorageTest.java:1519)."""
+    """Highlight (T13): <em>-wrapped ANALYZED-TOKEN matches on returned
+    docs (ElasticIndexingStorage.java:1096-1100; token — not substring —
+    semantics pinned at ElasticIndexingStorageTest.java:1488-1535: `dup`
+    must not light up inside `dedup`). \b = the [A-Za-z0-9_] boundary in
+    both Java regex and DuckDB RE2 — the analyzer's token alphabet."""
     index = get_index(spark, sf_dir)
     matched = topk(index, "dup", k=None, mode="and", hydrate=False).select("doc_id")
     return (
         index.docs.join(matched, "doc_id", "left_semi")
         .select(
             "doc_id",
-            F.expr("replace(text, 'dup', '<em>dup</em>')").alias("highlighted"),
+            F.regexp_replace(
+                "text", r"(?i)\b(dup)\b", "<em>$1</em>"
+            ).alias("highlighted"),
         )
         .orderBy("doc_id")
         .limit(10)
@@ -602,6 +619,210 @@ def events_windowed_counts(spark, sf_dir):
 
     ev = _tbl(spark, sf_dir, "events")
     return windowed_type_counts(ev).orderBy("ws", "event_type").limit(200)
+
+
+@q(
+    "xf_version_union",
+    """
+WITH x AS (
+  SELECT CAST(event_id % 2 + 1 AS INT) AS spec_version,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+         CASE WHEN event_id % 2 + 1 = 2
+              THEN coalesce(CAST(json_extract(props, '$.missing') AS BIGINT),
+                            7) END AS with_default
+  FROM events WHERE event_id < 2000)
+SELECT spec_version, count(*) AS cnt, CAST(sum(k_val) AS BIGINT) AS k_sum,
+       CAST(sum(with_default) AS BIGINT) AS def_sum
+FROM x GROUP BY spec_version ORDER BY spec_version
+""",
+)
+def xf_version_union(spark, sf_dir):
+    """Type-version PHYSICAL coexistence (testTypeVersions analog,
+    ElasticIndexingStorageTest.java:961-1014): objects route to spec
+    version 1 or 2, each version builds its OWN physical index under
+    v<N>/ (the reference's per-(type,version) ES index naming,
+    ElasticIndexingStorage.java:297-302), and the cross-version
+    index-pattern union null-fills the keys v1 never defined
+    (with_default exists only in v2 rows)."""
+    from ..functions.typespec import parse_spec_file
+    from ..operators.indexer import (
+        build_versioned_from_spec,
+        union_version_docs,
+    )
+
+    key = "verspec:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        base = os.path.join(
+            tempfile.gettempdir(), f"kbse_verspec_v{FORMAT_VERSION}_{tag}"
+        )
+        if not os.path.exists(os.path.join(base, "v2", "stats.json")):
+            spec = parse_spec_file(
+                os.path.join(
+                    os.path.dirname(__file__), "..", "specs",
+                    "events_versioned.yaml",
+                )
+            )
+            ev = _tbl(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+            build_versioned_from_spec(
+                spark, base, ev, spec, key_cols=["event_id"],
+                version_router=(F.col("event_id") % 2 + 1).cast("int"),
+            )
+        _INDEX_CACHE[key] = base
+    docs = union_version_docs(spark, _INDEX_CACHE[key])
+    return (
+        docs.groupBy("spec_version")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k_val").cast("bigint").alias("k_sum"),
+            F.sum("with_default").cast("bigint").alias("def_sum"),
+        )
+        .orderBy("spec_version")
+    )
+
+
+# =====================================================================
+# Mutation suite driven end-to-end (M2-M8): mutate, then search THROUGH
+# the access filter; delete -> undelete restore (reference:
+# ElasticIndexingStorage.java:666-915 update-by-query family, :918-953
+# undeleteAllVersions; tests testSharing/testPublic/testDeleteUndelete)
+# =====================================================================
+
+
+def _mut_index(spark: SparkSession, sf_dir: str):
+    """A dedicated physical index for the mutation round-trip (the shared
+    get_index must stay immutable for every other query). Built over
+    doc_id < 300, then published/shared via the update-by-query operators
+    — idempotently: the mutation pass is skipped when its flag columns
+    are already present (re-entry safe, same protocol as the build's
+    lineage markers)."""
+    from ..operators.mutate import publish_objects, set_access_group
+
+    key = "mut:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), f"kbse_mutidx_v{FORMAT_VERSION}_{tag}"
+        )
+        IndexBuilder(
+            spark, idx_dir, num_segments=4, segments_per_commit=4
+        ).build(
+            _docs(spark, sf_dir).where(F.col("doc_id") < 300),
+            key_cols=["doc_id"],
+            text_col="text",
+            doc_id_col="doc_id",
+            resume=True,
+        )
+        docs_cols = spark.read.parquet(os.path.join(idx_dir, "docs")).columns
+        if "is_public" not in docs_cols:
+            # M4 publish: every English doc becomes public
+            publish_objects(spark, idx_dir, F.col("lang") == "en")
+        if "access_group" not in spark.read.parquet(
+            os.path.join(idx_dir, "docs")
+        ).columns:
+            # M2 share: three sources shared into access group 7
+            set_access_group(
+                spark, idx_dir,
+                F.col("source").isin("src3", "src7", "src11"), group=7,
+            )
+        _INDEX_CACHE[key] = idx_dir
+    return InvertedIndex(spark, _INDEX_CACHE[key])
+
+
+@q(
+    "mut_publish_search",
+    """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+           '[a-z0-9_]+'))) AS term
+    FROM documents WHERE doc_id < 300) t
+  WHERE term = 'the' GROUP BY doc_id)
+SELECT d.doc_id FROM documents d JOIN m USING (doc_id)
+WHERE d.lang = 'en' OR d.source IN ('src3','src7','src11')
+ORDER BY doc_id LIMIT 50
+""",
+)
+def mut_publish_search(spark, sf_dir):
+    """M2/M4 + A1/A2 round trip: publish_objects + set_access_group
+    update-by-query mutations, then search_objects THROUGH AccessFilter
+    (user sees group-7 shares plus public docs). The reference's
+    testSharing/testPublic flow (ElasticIndexingStorageTest.java:726-958)
+    as one driver-checked query."""
+    from .search import AccessFilter, MatchFilter, PostProcessing
+
+    index = _mut_index(spark, sf_dir)
+    return search_objects_facade(
+        index,
+        MatchFilter(full_text="the"),
+        access=AccessFilter(user_groups=[7], with_public=True),
+        post=PostProcessing(ids_only=True),
+    )
+
+
+@q(
+    "events_undelete",
+    """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts,
+         CASE event_type WHEN 'view' THEN 'NEW_VERSION'
+                         WHEN 'click' THEN 'DELETE'
+                         ELSE 'UNDELETE' END AS op,
+         'p' || CAST(user_id % 20 AS VARCHAR) AS path,
+         CAST(event_id AS VARCHAR) AS "commit",
+         CASE WHEN event_type = 'view'
+              THEN 'c' || CAST(event_id AS VARCHAR) END AS content
+  FROM events WHERE event_type IN ('view', 'click', 'error')),
+latest AS (
+  SELECT path, op FROM (
+    SELECT path, op, row_number() OVER (PARTITION BY path
+           ORDER BY ts DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1),
+cont AS (
+  SELECT path, "commit", content FROM (
+    SELECT path, "commit", content, row_number() OVER (PARTITION BY path
+           ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE op = 'NEW_VERSION') WHERE rn = 1)
+SELECT c.path, c."commit", c.content
+FROM cont c JOIN latest l USING (path)
+WHERE l.op <> 'DELETE' ORDER BY path
+""",
+)
+def events_undelete(spark, sf_dir):
+    """M8 delete -> undelete restore through the event state machine
+    (streaming/events.py visible_docs; reference undeleteAllVersions,
+    ElasticIndexingStorage.java:918-953): deterministically map the
+    events table to NEW_VERSION/DELETE/UNDELETE ops per path, then
+    resolve visibility — a path whose latest op is DELETE is hidden;
+    UNDELETE restores the last pre-delete version's content."""
+    from ..streaming.events import events_to_version_rows, visible_docs
+
+    ev = _tbl(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "error")
+    )
+    mapped = ev.select(
+        "event_id",
+        F.expr("unix_micros(cast(ts AS timestamp))").alias("ts"),
+        F.when(F.col("event_type") == "view", "NEW_VERSION")
+        .when(F.col("event_type") == "click", "DELETE")
+        .otherwise("UNDELETE")
+        .alias("op"),
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), (F.col("user_id") % 20).cast("string")).alias(
+            "path"
+        ),
+        F.col("event_id").cast("string").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(F.lit("c"), F.col("event_id").cast("string")),
+        ).alias("content"),
+    )
+    rows = events_to_version_rows(mapped)
+    return (
+        visible_docs(rows)
+        .select("path", "commit", "content")
+        .orderBy("path")
+    )
 
 
 # =====================================================================
@@ -1438,7 +1659,6 @@ def xf_subobjects(spark, sf_dir):
         )
     )
     out = explode_subobjects(d, ["doc_id", "lang"], "toks")
-    w = Window.partitionBy("doc_id").orderBy(F.split(F.col("sub_id"), ":")[1].cast("int"))
     return (
         out.select("doc_id", "sub_id", "sub_value",
                    F.split(F.col("sub_id"), ":")[1].cast("int").alias("_pos"))

@@ -209,16 +209,22 @@ def search_objects(
         return page.select("doc_id")  # _source: [guid] analog (P10)
     if post.highlight and match.full_text:
         # ONE highlight semantics engine-wide (pinned by the driver oracle
-        # and the reference's expected format, <em>token</em> on analyzed-
-        # token matches, ElasticIndexingStorageTest.java:1519): literal
-        # replace of each analyzed query term
+        # and the reference's ES highlighter, which marks ANALYZED-TOKEN
+        # matches, not raw substrings — `dup` must not light up inside
+        # `dedup`; ElasticIndexingStorageTest.java:1488-1535): one
+        # case-insensitive whole-token pass. \b is the [A-Za-z0-9_]
+        # boundary in BOTH Java regex and DuckDB's RE2 — exactly the
+        # analyzer's token alphabet — and a single alternation pass can't
+        # re-match inside the <em> tags it inserts (a per-term chain
+        # could, e.g. for the query term "em").
         from ..functions.tokenize import tokenize_py
 
         terms = sorted(set(tokenize_py(match.full_text)))
         hl = F.col("text") if "text" in page.columns else F.col("content")
-        for t in terms:
-            hl = F.replace(hl, F.lit(t), F.lit(f"<em>{t}</em>"))
-        page = page.withColumn("highlight", hl)
+        pat = r"(?i)\b(" + "|".join(terms) + r")\b"
+        page = page.withColumn(
+            "highlight", F.regexp_replace(hl, pat, "<em>$1</em>")
+        )
     if not post.include_content:
         drop = [c for c in ("text", "content") if c in page.columns]
         page = page.drop(*drop)

@@ -59,15 +59,15 @@ def index_ddl(db: str, name: str) -> list[str]:
 USING iceberg PARTITIONED BY (segment)
 TBLPROPERTIES ('write.distribution-mode' = 'none')""",
         f"""CREATE TABLE IF NOT EXISTS {db}.{name}_postings (
-  segment INT, term STRING, df INT,
+  segment INT, term_hash BIGINT, df INT,
   doc_ids BINARY, tfs BINARY, dls BINARY,
   block_last ARRAY<BIGINT>, block_max_tf ARRAY<BIGINT>,
   block_min_dl ARRAY<BIGINT>)
 USING iceberg PARTITIONED BY (segment)
 TBLPROPERTIES ('write.distribution-mode' = 'none',
-               'sort-order' = 'term ASC')""",
+               'sort-order' = 'term_hash ASC')""",
         f"""CREATE TABLE IF NOT EXISTS {db}.{name}_terms (
-  term STRING, df BIGINT, batch INT)
+  term_hash BIGINT, df BIGINT, batch INT)
 USING iceberg PARTITIONED BY (batch)""",
     ]
 

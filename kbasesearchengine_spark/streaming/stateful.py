@@ -15,13 +15,17 @@ and the shape of a training-data ingest pipe (only-new-documents).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# state: per hash-prefix group, the set of full hashes already seen
-_STATE_SCHEMA = "seen array<string>"
+# state: per CONTENT-HASH group, a single presence flag. Keying the state
+# store by the full hash (not a prefix bucket) makes every state entry
+# O(1) and every micro-batch's state churn O(batch keys): the store only
+# touches groups present in the batch, instead of rewriting a bucket's
+# whole sorted array of all hashes ever seen (the round-2 shape — O(seen)
+# serialization per batch, wrong at corpus scale).
+_STATE_SCHEMA = "seen boolean"
 _OUT_SCHEMA = (
     "repo string, path string, commit string, lang string, content string, "
     "content_hash string"
@@ -29,27 +33,19 @@ _OUT_SCHEMA = (
 
 
 def _dedup_group(key, pdfs, state: GroupState):
-    """One hash-prefix group: emit rows whose content_hash was never seen
-    (in this batch or any previous one), then fold the new hashes into
-    the state store."""
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
+    """One content-hash group: if the hash was seen in any previous batch
+    (state exists), drop everything; otherwise emit the FIRST arrival and
+    mark the hash seen. state.update is called at most once per NEW key —
+    never for already-seen keys (asserted in tests: O(batch) churn)."""
+    if state.exists:
+        return
     for pdf in pdfs:
-        fresh_mask = []
-        for h in pdf["content_hash"]:
-            if h in seen:
-                fresh_mask.append(False)
-            else:
-                seen.add(h)
-                fresh_mask.append(True)
-        kept = pdf[pd.Series(fresh_mask, index=pdf.index)]
-        if len(kept):
-            out.append(kept)
-    state.update((sorted(seen),))
-    if out:
-        yield pd.concat(out, ignore_index=True)[
-            ["repo", "path", "commit", "lang", "content", "content_hash"]
-        ]
+        if len(pdf):
+            state.update((True,))
+            yield pdf.iloc[:1][
+                ["repo", "path", "commit", "lang", "content", "content_hash"]
+            ]
+            return
 
 
 def dedup_stream(
@@ -58,22 +54,21 @@ def dedup_stream(
     out_path: str,
     checkpoint_dir: str,
     schema: str,
-    prefix_len: int = 2,
 ):
-    """Streaming exact-dedup: grouped by a content-hash prefix (bounded,
-    uniformly distributed key space — the salt that keeps any one state
-    partition small at 100 TB), applyInPandasWithState keeps the
-    seen-hash set per group in the checkpointed state store.
+    """Streaming exact-dedup: grouped by the full content hash,
+    applyInPandasWithState keeps one O(1) presence entry per hash in the
+    checkpointed state store (RocksDB-backed on a real cluster). The
+    uniformly distributed hash key is its own salt — state shards evenly
+    across state-store partitions at 100 TB, and a micro-batch only
+    reads/writes the entries for hashes IN that batch.
 
     Exactly-once end to end: the state store commits with the batch, so a
     replayed micro-batch re-emits deterministically and duplicates never
     pass twice.
     """
     stream = spark.readStream.schema(schema).parquet(events_dir)
-    hashed = stream.withColumn("content_hash", F.sha2("content", 256)).withColumn(
-        "hash_prefix", F.substring("content_hash", 1, prefix_len)
-    )
-    deduped = hashed.groupBy("hash_prefix").applyInPandasWithState(
+    hashed = stream.withColumn("content_hash", F.sha2("content", 256))
+    deduped = hashed.groupBy("content_hash").applyInPandasWithState(
         _dedup_group,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -126,3 +126,24 @@ def test_doc_id_assignment_is_sorted_rank(spark, built, oracle_idx):
     assert [(r["repo"], r["path"], r["commit"]) for r in got] == list(
         zip(pdf["repo"], pdf["path"], pdf["commit"])
     )
+
+
+def test_doc_id_offsets_broadcast_path_identical(spark, monkeypatch):
+    """assign_doc_ids has two physical offset-lookup plans (literal array
+    vs broadcast join past _OFFSETS_LITERAL_MAX partitions — the 10^4+
+    partition regime of a real cluster). Both must assign identical ids."""
+    from kbasesearchengine_spark.operators import indexer as ix
+
+    df = spark.createDataFrame(
+        [("r%03d" % (i % 37), "p%03d" % i, "c", "x y z") for i in range(200)],
+        "repo string, path string, commit string, content string",
+    )
+    lit_ids, _, _ = ix.assign_doc_ids(df, ["repo", "path"], num_partitions=8,
+                                      compute_dl="content")
+    a = {(r["repo"], r["path"]): r["doc_id"] for r in lit_ids.collect()}
+    monkeypatch.setattr(ix, "_OFFSETS_LITERAL_MAX", 2)
+    bj_ids, _, _ = ix.assign_doc_ids(df, ["repo", "path"], num_partitions=8,
+                                     compute_dl="content")
+    b = {(r["repo"], r["path"]): r["doc_id"] for r in bj_ids.collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(200))

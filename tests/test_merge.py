@@ -9,6 +9,7 @@ from kbasesearchengine_spark.operators.indexer import IndexBuilder
 from kbasesearchengine_spark.operators.merge import merge_postings, plan_merges
 from kbasesearchengine_spark.operators.topk import InvertedIndex, _segment_topk_kernel
 from kbasesearchengine_spark.functions.bm25 import idf as bm25_idf
+from kbasesearchengine_spark.functions.hashing import term_hash
 
 
 @pytest.fixture(scope="module")
@@ -39,13 +40,13 @@ def test_merged_index_answers_identically(spark, built, query, mode):
     terms = sorted(set(query.split()))
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     dfs = index.term_dfs(terms)
-    idfs = {t: float(bm25_idf(dfs[t], n)) for t in terms if t in dfs}
+    idfs = {term_hash(t): float(bm25_idf(dfs[t], n)) for t in terms if t in dfs}
 
-    before = index.postings.where(F.col("term").isin(terms)).toPandas()
+    before = index.postings.where(F.col("term_hash").isin(list(idfs))).toPandas()
     # merge segments 0-3 -> 0 and 4-7 -> 4
     seg_map = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 4}
     merged = merge_postings(index.postings, seg_map)
-    after = merged.where(F.col("term").isin(terms)).toPandas()
+    after = merged.where(F.col("term_hash").isin(list(idfs))).toPandas()
 
     assert set(after["segment"].unique()) <= {0, 4}
     d_b, s_b = _kernel_topk(before, idfs, avgdl, mode)
@@ -58,10 +59,10 @@ def test_merged_df_consistent(spark, built):
     index = InvertedIndex(spark, built)
     seg_map = {s: 0 for s in range(8)}
     merged = merge_postings(index.postings, seg_map)
-    df_before = index.postings.groupBy("term").agg(F.sum("df").alias("df"))
-    df_after = merged.groupBy("term").agg(F.sum("df").alias("df"))
-    a = {r["term"]: r["df"] for r in df_before.collect()}
-    b = {r["term"]: r["df"] for r in df_after.collect()}
+    df_before = index.postings.groupBy("term_hash").agg(F.sum("df").alias("df"))
+    df_after = merged.groupBy("term_hash").agg(F.sum("df").alias("df"))
+    a = {r["term_hash"]: r["df"] for r in df_before.collect()}
+    b = {r["term_hash"]: r["df"] for r in df_after.collect()}
     assert a == b
 
 

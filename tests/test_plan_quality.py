@@ -27,14 +27,25 @@ def _full_plan(df) -> str:
 
 
 def test_term_filter_pushed_to_postings_scan(index):
-    df = index.postings.where(F.col("term").isin("license", "parser"))
+    from kbasesearchengine_spark.functions.hashing import term_hash
+
+    df = index.postings.where(
+        F.col("term_hash").isin(term_hash("license"), term_hash("parser"))
+    )
     plan = _full_plan(df)
     assert "PushedFilters" in plan
-    assert "In(term" in plan or "term" in plan.split("PushedFilters")[1][:200]
+    assert (
+        "In(term_hash" in plan
+        or "term_hash" in plan.split("PushedFilters")[1][:200]
+    )
 
 
 def test_postings_scan_prunes_columns(index):
-    df = index.postings.where(F.col("term") == "license").select("segment", "df")
+    from kbasesearchengine_spark.functions.hashing import term_hash
+
+    df = index.postings.where(
+        F.col("term_hash") == term_hash("license")
+    ).select("segment", "df")
     plan = _full_plan(df)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_ids" not in read_schema  # heavy blob column NOT read

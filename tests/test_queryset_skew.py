@@ -2,8 +2,10 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kbasesearchengine_spark.corpus import generate_corpus_pandas
+from kbasesearchengine_spark.functions.hashing import term_hash
 from kbasesearchengine_spark.operators.indexer import IndexBuilder
 from kbasesearchengine_spark.operators.topk import InvertedIndex, topk
 from kbasesearchengine_spark.oracle import build_oracle_index, oracle_topk
@@ -58,7 +60,9 @@ def test_pathological_skew_build(spark, tmp_path):
     # the stopword's postings are split across all 8 segments
     segs = {
         r["segment"]
-        for r in index.postings.where("term = 'omnipresent'").collect()
+        for r in index.postings.where(
+            F.col("term_hash") == term_hash("omnipresent")
+        ).collect()
     }
     assert len(segs) == 8
     assert index.term_dfs(["omnipresent"])["omnipresent"] == n

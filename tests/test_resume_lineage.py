@@ -25,11 +25,11 @@ def _postings_fingerprint(spark, idx_dir):
 
     idx = InvertedIndex(spark, idx_dir)
     rows = idx.postings.select(
-        "segment", "term", "df", "doc_ids", "tfs", "dls"
+        "segment", "term_hash", "df", "doc_ids", "tfs", "dls"
     ).collect()
     merged = {}
     for r in rows:
-        key = (r["segment"], r["term"])
+        key = (r["segment"], r["term_hash"])
         merged.setdefault(key, []).append(
             (
                 delta_decode(bytes(r["doc_ids"])).tolist(),

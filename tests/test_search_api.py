@@ -92,6 +92,28 @@ def test_highlight(index):
     assert all("<em>rfah</em>" in r["highlight"] for r in res)
 
 
+def test_highlight_token_boundary(spark, tmp_path):
+    """ES highlights ANALYZED-TOKEN matches, not raw substrings
+    (ElasticIndexingStorageTest.java:1488-1535): querying `dup` must wrap
+    the standalone token but NOT the `dup` inside `dedup`; a capitalized
+    occurrence still highlights (case-insensitive analyzer)."""
+    corpus = spark.createDataFrame(
+        [(0, "dedup dup Dup xdup dup_x"), (1, "no match here")],
+        "doc_id bigint, content string",
+    )
+    d = str(tmp_path / "hl_idx")
+    IndexBuilder(spark, d, num_segments=1, segments_per_commit=1).build(
+        corpus, key_cols=["doc_id"], doc_id_col="doc_id"
+    )
+    res = search_objects(
+        InvertedIndex(spark, d),
+        MatchFilter(full_text="dup"),
+        post=PostProcessing(highlight=True),
+    ).collect()
+    assert len(res) == 1
+    assert res[0]["highlight"] == "dedup <em>dup</em> <em>Dup</em> xdup dup_x"
+
+
 def test_search_types_counts(index):
     res = {r["type"]: r["count"] for r in
            search_types(index, MatchFilter(full_text="license")).collect()}

@@ -61,3 +61,36 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     q3 = dedup_stream(spark, events_dir, out_path, ckpt, SCHEMA)
     q3.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == 3
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level churn assertions."""
+
+    def __init__(self, exists=False):
+        self.exists = exists
+        self.updates = 0
+
+    def update(self, t):
+        self.updates += 1
+        self.payload = t
+
+
+def test_state_churn_is_o_batch():
+    """State-store writes must be O(new keys in batch), not O(seen):
+    an already-seen key writes NOTHING; a new key writes one O(1) flag."""
+    import pandas as pd
+
+    from kbasesearchengine_spark.streaming.stateful import _dedup_group
+
+    row = pd.DataFrame(
+        {c: ["x"] for c in
+         ["repo", "path", "commit", "lang", "content", "content_hash"]}
+    )
+    seen = _FakeState(exists=True)
+    assert list(_dedup_group(("h",), iter([row]), seen)) == []
+    assert seen.updates == 0  # no rewrite for already-seen keys
+
+    new = _FakeState(exists=False)
+    out = list(_dedup_group(("h",), iter([row, row]), new))
+    assert len(out) == 1 and len(out[0]) == 1  # first arrival only
+    assert new.updates == 1 and new.payload == (True,)  # one O(1) flag

@@ -221,7 +221,64 @@ versions:
     assert len(got_f) == 2
     # T9: secret stored on docs, but indexed NOWHERE
     assert "secret" in index.docs.columns
-    assert index.terms.where(F.col("term") == "hunter2").count() == 0
+    from kbasesearchengine_spark.functions.hashing import term_hash
+
+    assert (
+        index.terms.where(F.col("term_hash") == term_hash("hunter2")).count()
+        == 0
+    )
     assert not os.path.isdir(os.path.join(idx_dir, "fields", "secret"))
     # keyword rule stored too
     assert "lang" in index.docs.columns
+
+
+def test_version_physical_coexistence(spark, tmp_path):
+    """testTypeVersions analog (ElasticIndexingStorageTest.java:961-1014):
+    two spec versions materialize as two PHYSICAL indexes under v<N>/,
+    incompatible keys coexist in the union view (null-filled), and each
+    version's index answers full-text queries with its own stats."""
+    import os
+
+    from kbasesearchengine_spark.functions.typespec import parse_spec_file
+    from kbasesearchengine_spark.operators.indexer import (
+        build_versioned_from_spec,
+        union_version_docs,
+    )
+    from kbasesearchengine_spark.operators.topk import InvertedIndex, topk
+
+    spec = parse_spec_file(
+        os.path.join(
+            os.path.dirname(__file__), "..", "kbasesearchengine_spark",
+            "specs", "events_versioned.yaml",
+        )
+    )
+    rows = [
+        (i, "t%d" % (i % 3), '{"k": %d}' % (i * 10)) for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, props string"
+    )
+    base = str(tmp_path / "verspec")
+    stats = build_versioned_from_spec(
+        spark, base, ev, spec, key_cols=["event_id"],
+        version_router=(F.col("event_id") % 2 + 1).cast("int"),
+        num_segments=1,
+    )
+    assert sorted(stats) == [1, 2]
+    assert os.path.exists(os.path.join(base, "v1", "stats.json"))
+    assert os.path.exists(os.path.join(base, "v2", "stats.json"))
+
+    u = union_version_docs(spark, base)
+    assert "with_default" in u.columns and "k_doubled" in u.columns
+    v1 = u.where(F.col("spec_version") == 1)
+    v2 = u.where(F.col("spec_version") == 2)
+    assert v1.count() == 10 and v2.count() == 10
+    # incompatible keys: null-filled for v1, populated for v2
+    assert v1.where(F.col("with_default").isNotNull()).count() == 0
+    assert v2.where(F.col("with_default") == 7).count() == 10
+    assert v2.where(F.col("k_doubled") == F.col("k_val") * 2).count() == 10
+
+    # each physical index independently queryable with its own stats
+    i1 = InvertedIndex(spark, os.path.join(base, "v1"))
+    assert i1.stats["n_docs"] == 10
+    assert topk(i1, "k", 5, "and", hydrate=False).count() == 5
