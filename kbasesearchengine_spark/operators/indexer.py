@@ -466,10 +466,14 @@ def build_postings_from_docs(
             ukey, counts = np.unique(key, return_counts=True)
             rr = (ukey // len(uniq_hashes)).astype(np.int64)
             tcode = (ukey % len(uniq_hashes)).astype(np.int64)
+            # int32 buffers for seg/dl/tf (dl, tf < 2^31 by contract;
+            # doc_id stays int64 — global ids exceed int32 at scale):
+            # the flush's sort-gather is bandwidth-bound, narrower lanes
+            # move ~30% fewer bytes
             seg_l.append(pdf["segment"].to_numpy()[rr].astype(np.int32))
             doc_l.append(pdf["doc_id"].to_numpy()[rr])
-            dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int64))
-            tf_l.append(counts.astype(np.int64))
+            dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int32))
+            tf_l.append(counts.astype(np.int32))
             code_l.append(np.asarray(uniq_hashes, dtype=np.int64)[tcode])
             pending += len(ukey)
             if pending >= FLUSH_PAIRS:

@@ -622,6 +622,50 @@ def events_windowed_counts(spark, sf_dir):
 
 
 @q(
+    "idx_catalog_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       round((SELECT count(*) FROM tok)::DOUBLE /
+             (SELECT count(*) FROM documents), 6) AS avgdl,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT doc_id, t FROM tok))
+            AS BIGINT) AS total_postings
+""",
+)
+def idx_catalog_stats(spark, sf_dir):
+    """S6 listIndeces + E8 per-commit metrics made gate-visible
+    (ElasticIndexingStorage.java:1603-1618; marker payloads written by
+    IndexBuilder.build_group): the CATALOG's stored stats and the
+    lineage markers' summed posting counts must equal what the raw data
+    says — n_docs, avgdl, and Σ postings over segment-group commits =
+    the corpus's distinct (doc, term) pair count."""
+    import glob
+    import json as _json
+
+    index = get_index(spark, sf_dir)
+    listed = None
+    from ..sources.catalog import list_indexes
+
+    base = os.path.dirname(index.index_dir)
+    name = os.path.basename(index.index_dir)
+    for e in list_indexes(base):
+        if e["name"] == name:
+            listed = e
+    assert listed is not None, "catalog must list the built index"
+    total_postings = 0
+    for m in glob.glob(os.path.join(index.index_dir, "_lineage", "group-*.json")):
+        with open(m) as f:
+            total_postings += int(_json.load(f)["postings"])
+    return spark.createDataFrame(
+        [(int(listed["n_docs"]), round(float(listed["avgdl"]), 6),
+          total_postings)],
+        "n_docs bigint, avgdl double, total_postings bigint",
+    )
+
+
+@q(
     "xf_version_union",
     """
 WITH x AS (

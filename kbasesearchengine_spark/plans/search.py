@@ -97,11 +97,33 @@ class Pagination:
     count: int = 50
 
 
+# columns every page keeps regardless of key skipping: identity + system
+# invariants (the reference's ObjectData guid/timestamp analog)
+_SYSTEM_COLS = ("doc_id", "score", "highlight", "sha256", "segment")
+_DATA_COLS = ("text", "content")
+
+
 @dataclass
 class PostProcessing:
+    """P10/T13 + the spec's skip family (KBaseSearchEngine.spec:133-154
+    PostProcessing.{ids_only,skip_info,skip_keys,skip_data};
+    SearchMethods.java:179-194 applies them per hit):
+
+      ids_only      -> doc_id column only (P10 _source:[guid])
+      skip_keys     -> drop the extracted per-type keyword columns, keep
+                       identity/system columns (+ content unless skipped)
+      skip_data     -> drop the raw document payload (text/content) —
+                       same effect as include_content=False
+      select_keys   -> keep ONLY these keyword columns (spec's
+                       object_props whitelist; applied after skip flags)
+    """
+
     ids_only: bool = False
     include_content: bool = True
     highlight: bool = False
+    skip_keys: bool = False
+    skip_data: bool = False
+    select_keys: list | None = None
 
 
 def _predicate(mf: MatchFilter) -> Column | None:
@@ -225,8 +247,17 @@ def search_objects(
         page = page.withColumn(
             "highlight", F.regexp_replace(hl, pat, "<em>$1</em>")
         )
-    if not post.include_content:
-        drop = [c for c in ("text", "content") if c in page.columns]
+    if post.skip_keys or post.select_keys is not None:
+        keep_keys = set(post.select_keys or ())
+        drop = [
+            c for c in page.columns
+            if c not in _SYSTEM_COLS
+            and c not in _DATA_COLS
+            and c not in keep_keys
+        ]
+        page = page.drop(*drop)
+    if not post.include_content or post.skip_data:
+        drop = [c for c in _DATA_COLS if c in page.columns]
         page = page.drop(*drop)
     return page
 

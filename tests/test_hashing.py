@@ -53,3 +53,25 @@ def test_hash_tokens_expr_matches_python(spark):
 
 def test_signed_range():
     assert -(1 << 63) <= xxh64(b"\x00\xff" * 40) < (1 << 63)
+
+
+def test_derived_vocab_matches_index_dfs(spark, shared_index_dir):
+    """Offline vocab derivation (operators/vocab.py): term_hash equals the
+    driver-side XXH64 of the string, and per-hash df equals what the
+    hash-keyed index derived from posting rows."""
+    from kbasesearchengine_spark.corpus import generate_corpus
+    from kbasesearchengine_spark.operators.topk import InvertedIndex
+    from kbasesearchengine_spark.operators.vocab import derive_vocab
+
+    corpus = generate_corpus(spark, 800, parallelism=8)
+    vocab = derive_vocab(corpus, "content").collect()
+    assert vocab
+    for r in vocab[:200]:
+        assert r["term_hash"] == term_hash(r["term"])
+
+    index = InvertedIndex(spark, shared_index_dir)  # same 800-row corpus
+    idx_dfs = {
+        r["term_hash"]: r["df"] for r in index.terms.collect()
+    }
+    vocab_dfs = {r["term_hash"]: r["df"] for r in vocab}
+    assert vocab_dfs == idx_dfs

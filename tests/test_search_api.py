@@ -200,3 +200,28 @@ def test_access_filter_blocks(spark, tmp_path):
     res = search_objects(idx, MatchFilter(), access=AccessFilter())
     assert res.count() == 0
     assert search_types(idx, MatchFilter(), access=AccessFilter()).count() == 0
+
+
+def test_skip_keys_and_data(index):
+    """PostProcessing skip family (KBaseSearchEngine.spec:133-154;
+    SearchMethods.java:179-194): skip_keys drops extracted keyword
+    columns but keeps identity/system columns; skip_data drops the
+    payload; select_keys whitelists."""
+    mf = MatchFilter(full_text="license")
+    full = search_objects(index, mf)
+    assert "lang" in full.columns and "content" in full.columns
+
+    nk = search_objects(index, mf, post=PostProcessing(skip_keys=True))
+    assert "lang" not in nk.columns
+    assert "doc_id" in nk.columns and "content" in nk.columns
+    assert nk.count() == full.count()
+
+    nd = search_objects(index, mf, post=PostProcessing(skip_data=True))
+    assert "content" not in nd.columns and "lang" in nd.columns
+
+    only = search_objects(
+        index, mf,
+        post=PostProcessing(select_keys=["lang"], skip_data=True),
+    )
+    assert "lang" in only.columns
+    assert "repo" not in only.columns and "content" not in only.columns

