@@ -83,6 +83,7 @@ def assign_doc_ids(
     key_cols: list[str],
     num_partitions: int | None = None,
     compute_dl: str | None = None,
+    post_shuffle=None,
 ) -> tuple[DataFrame, int, int | None]:
     """Dense doc_id = rank of row under ORDER BY key_cols (unique keys).
 
@@ -94,28 +95,38 @@ def assign_doc_ids(
     within-partition sequence (lower 33 bits — rows flow in sorted order,
     so the sequence IS the partition-local rank). No Arrow crossing, no
     per-row Python, no driver collect of data rows. Returns
-    (df_with_doc_id, n_rows, total_dl) — count and (with compute_dl)
-    total token count fall out of the offset pass.
+    (df_with_doc_id, n_rows, total_dl) — count and (with compute_dl or a
+    post_shuffle hook that adds a ``dl`` column) total token count fall
+    out of the offset pass.
+
+    post_shuffle: optional DataFrame->DataFrame hook applied AFTER the
+    range shuffle and INSIDE the persisted frame — expensive derived
+    columns (tokenization, hashing, digests) land here so they are
+    computed ONCE, after the partitioner's sampling job (which re-executes
+    the pre-shuffle plan), and reused by every downstream pass off the
+    persisted blocks.
     """
     spark = df.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
     sorted_df = df.repartitionByRange(nump, *key_cols).sortWithinPartitions(
         *key_cols
     )
-    if compute_dl:
-        # dl computed AFTER the range shuffle (the partitioner's sampling
-        # job re-executes the pre-shuffle plan — anything expensive there
-        # runs twice) but INSIDE the persisted frame: the offsets job then
-        # yields N and total_dl (avgdl) for free — no separate stats pass.
+    if post_shuffle is not None:
+        sorted_df = post_shuffle(sorted_df)
+    elif compute_dl:
+        # dl computed AFTER the range shuffle (see post_shuffle note).
         # JVM regexp_count (codegen) — no Python worker in this pass.
         sorted_df = sorted_df.withColumn("dl", token_count_expr(compute_dl))
+    want_dl = bool(compute_dl) or (
+        post_shuffle is not None and "dl" in sorted_df.columns
+    )
     sorted_df = sorted_df.withColumn("_pid", F.spark_partition_id()).persist()
     aggs = [F.count("*").alias("cnt")]
-    if compute_dl:
+    if want_dl:
         aggs.append(F.sum("dl").alias("sdl"))
     rows = sorted_df.groupBy("_pid").agg(*aggs).collect()
     counts = {r["_pid"]: r["cnt"] for r in rows}
-    total_dl = sum(int(r["sdl"] or 0) for r in rows) if compute_dl else None
+    total_dl = sum(int(r["sdl"] or 0) for r in rows) if want_dl else None
     offsets, acc = {}, 0
     for pid in range(max(counts) + 1 if counts else 0):
         offsets[pid] = acc
@@ -180,27 +191,58 @@ def build_docs(
     doc_id_col: str | None = None,
     num_segments: int = 16,
     id_partitions: int | None = None,
+    carry_tokens: bool = False,
+    keep_text: bool = True,
 ) -> tuple[DataFrame, int, int | None]:
     """docs table: doc_id, keys, metadata, sha256(content), dl, segment.
 
     sha256 is the per-row invariant carried through the engine (reference
     analog: the md5 system field, ElasticIndexingStorage.java:404-410).
     Returns (docs, n_docs). The segment is a contiguous doc_id range bucket.
+
+    carry_tokens=True adds a ``_toks`` column (hash_tokens_expr — the
+    hashed token array) computed ONCE inside the post-shuffle persisted
+    frame, with dl = size(_toks): the posting build then consumes the
+    cached arrays instead of re-running the tokenize regex over the full
+    corpus — the whole build touches each document's text with the
+    tokenizer exactly once. keep_text=False additionally drops the raw
+    text from the persisted frame (the store_text=False scale layout:
+    after sha256/dl/_toks are derived, the payload is dead weight in
+    executor memory).
     """
     total_dl = None
     if doc_id_col is None:
-        with_ids, n_docs, total_dl = assign_doc_ids(
-            corpus, key_cols, id_partitions, compute_dl=text_col
-        )
+        if carry_tokens:
+            def _prep(sdf: DataFrame) -> DataFrame:
+                sdf = sdf.withColumn("_toks", hash_tokens_expr(text_col))
+                sdf = sdf.withColumn("dl", F.size("_toks").cast("int"))
+                sdf = sdf.withColumn("sha256", F.sha2(F.col(text_col), 256))
+                return sdf if keep_text else sdf.drop(text_col)
+
+            with_ids, n_docs, total_dl = assign_doc_ids(
+                corpus, key_cols, id_partitions, post_shuffle=_prep
+            )
+        else:
+            with_ids, n_docs, total_dl = assign_doc_ids(
+                corpus, key_cols, id_partitions, compute_dl=text_col
+            )
     else:
         with_ids = corpus.withColumn(
             "doc_id", F.col(doc_id_col).cast("bigint")
-        ).withColumn("dl", token_count_expr(text_col))
+        )
+        if carry_tokens:
+            with_ids = with_ids.withColumn(
+                "_toks", hash_tokens_expr(text_col)
+            ).withColumn("dl", F.size("_toks").cast("int"))
+        else:
+            with_ids = with_ids.withColumn("dl", token_count_expr(text_col))
         n_docs = with_ids.count()
     seg_size = max(1, math.ceil(n_docs / num_segments))
-    docs = (
-        with_ids.withColumn("sha256", F.sha2(F.col(text_col), 256))
-        .withColumn("segment", (F.col("doc_id") / F.lit(seg_size)).cast("int"))
+    docs = with_ids
+    if "sha256" not in docs.columns:
+        docs = docs.withColumn("sha256", F.sha2(F.col(text_col), 256))
+    docs = docs.withColumn(
+        "segment", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
     docs._kbse_sort_cache = getattr(with_ids, "_kbse_sort_cache", None)
     return docs, n_docs, total_dl
@@ -361,11 +403,39 @@ def build_postings(
     return arranged.mapInPandas(encode, schema=POSTING_SCHEMA)
 
 
+_POSTING_PA_SCHEMA = None  # built lazily (pyarrow import at worker use)
+
+
+def _posting_pa_schema():
+    global _POSTING_PA_SCHEMA
+    if _POSTING_PA_SCHEMA is None:
+        import pyarrow as pa
+
+        _POSTING_PA_SCHEMA = pa.schema(
+            [
+                ("segment", pa.int32()),
+                ("term_hash", pa.int64()),
+                ("df", pa.int32()),
+                ("doc_ids", pa.binary()),
+                ("tfs", pa.binary()),
+                ("dls", pa.binary()),
+                ("block_last", pa.list_(pa.int64())),
+                ("block_max_tf", pa.list_(pa.int64())),
+                ("block_min_dl", pa.list_(pa.int64())),
+                ("block_doc_off", pa.list_(pa.int64())),
+                ("block_tf_off", pa.list_(pa.int64())),
+                ("block_dl_off", pa.list_(pa.int64())),
+            ]
+        )
+    return _POSTING_PA_SCHEMA
+
+
 def build_postings_from_docs(
     docs: DataFrame,
     text_col: str = "content",
     num_partitions: int | None = None,
     pre_partitioned: bool = False,
+    tokens_col: str = "_toks",
 ) -> DataFrame:
     """One-shuffle posting build (the Lucene RAM-buffer flush model).
 
@@ -385,19 +455,32 @@ def build_postings_from_docs(
     """
     spark = docs.sparkSession
     nump = num_partitions or spark.sparkContext.defaultParallelism
-    src = docs.select("doc_id", "segment", "dl", F.col(text_col).alias("_text"))
-    if not pre_partitioned:
-        src = src.repartitionByRange(nump, "segment", "doc_id").sortWithinPartitions(
-            "segment", "doc_id"
+    if tokens_col in docs.columns:
+        # the assigned frame already carries hashed-token arrays (computed
+        # once, post-shuffle, inside the persisted frame — build_docs
+        # carry_tokens): consume them directly, zero re-tokenization
+        src = docs.select(
+            "doc_id", "segment", "dl", F.col(tokens_col).alias("_toks")
         )
-    # tokenize AND hash JVM-side (codegen'd regexp + xxhash64 transform)
-    # AFTER the shuffle — raw text moves over the exchange, not token
-    # arrays; the Arrow boundary then carries int64 hash arrays (pyarrow
-    # -> contiguous numpy, zero Python objects) and the kernel is
-    # whole-array numpy only (no per-row Python, per the north rule)
-    src = src.select(
-        "doc_id", "segment", "dl", hash_tokens_expr("_text").alias("_toks")
-    )
+        if not pre_partitioned:
+            src = src.repartitionByRange(
+                nump, "segment", "doc_id"
+            ).sortWithinPartitions("segment", "doc_id")
+    else:
+        src = docs.select(
+            "doc_id", "segment", "dl", F.col(text_col).alias("_text")
+        )
+        if not pre_partitioned:
+            src = src.repartitionByRange(
+                nump, "segment", "doc_id"
+            ).sortWithinPartitions("segment", "doc_id")
+        # tokenize AND hash JVM-side (codegen'd regexp + xxhash64
+        # transform) AFTER the shuffle — raw text moves over the exchange,
+        # not token arrays; the Arrow boundary then carries int64 hash
+        # arrays and the kernel is whole-array numpy only
+        src = src.select(
+            "doc_id", "segment", "dl", hash_tokens_expr("_text").alias("_toks")
+        )
 
     FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.5 GB arrays)
 
@@ -446,18 +529,35 @@ def build_postings_from_docs(
             }
         )
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches):
+        # mapInArrow: the _toks list<int64> column is consumed as ONE flat
+        # contiguous values buffer + a lengths vector — zero per-row
+        # ndarray objects, zero np.concatenate copies (mapInPandas
+        # materializes a small numpy array PER ROW and re-concatenates;
+        # at ~1k tokens/doc that is the whole Arrow-boundary cost)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = _posting_pa_schema()
         seg_l, doc_l, dl_l, tf_l, code_l = [], [], [], [], []
         pending = 0
-        for pdf in batches:
-            toks_list = pdf["_toks"]  # Series of numpy int64 arrays
-            lens = np.fromiter(
-                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
-            )
-            if lens.sum() == 0:
+        cols = None
+        for rb in batches:
+            if cols is None:
+                cols = {n: i for i, n in enumerate(rb.schema.names)}
+            toks = rb.column(cols["_toks"])
+            if len(toks) == 0:
                 continue
-            ridx = np.repeat(np.arange(len(toks_list)), lens)
-            flat = np.concatenate([t for t in toks_list if len(t)])
+            lens_arr = toks.value_lengths()
+            if lens_arr.null_count:  # null rows flatten() to nothing
+                lens_arr = pc.fill_null(lens_arr, 0)
+            lens = np.asarray(
+                lens_arr.to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            if flat.size == 0:
+                continue
+            ridx = np.repeat(np.arange(len(toks)), lens)
             # tf aggregation on int64 hashes: factorize (vectorized int
             # hashing — no Python-object traffic), then one np.unique
             # over composite (row, term) int64 keys
@@ -466,26 +566,35 @@ def build_postings_from_docs(
             ukey, counts = np.unique(key, return_counts=True)
             rr = (ukey // len(uniq_hashes)).astype(np.int64)
             tcode = (ukey % len(uniq_hashes)).astype(np.int64)
+            seg_np = rb.column(cols["segment"]).to_numpy(zero_copy_only=False)
+            doc_np = rb.column(cols["doc_id"]).to_numpy(zero_copy_only=False)
+            dl_np = rb.column(cols["dl"]).to_numpy(zero_copy_only=False)
             # int32 buffers for seg/dl/tf (dl, tf < 2^31 by contract;
             # doc_id stays int64 — global ids exceed int32 at scale):
             # the flush's sort-gather is bandwidth-bound, narrower lanes
             # move ~30% fewer bytes
-            seg_l.append(pdf["segment"].to_numpy()[rr].astype(np.int32))
-            doc_l.append(pdf["doc_id"].to_numpy()[rr])
-            dl_l.append(pdf["dl"].to_numpy()[rr].astype(np.int32))
+            seg_l.append(seg_np[rr].astype(np.int32, copy=False))
+            doc_l.append(doc_np[rr])
+            dl_l.append(dl_np[rr].astype(np.int32))
             tf_l.append(counts.astype(np.int32))
             code_l.append(np.asarray(uniq_hashes, dtype=np.int64)[tcode])
             pending += len(ukey)
             if pending >= FLUSH_PAIRS:
                 # RAM-buffer flush (Lucene-style): emit a sub-range of the
                 # partition as posting rows; readers merge split rows
-                yield _flush(seg_l, doc_l, dl_l, tf_l, code_l)
+                yield pa.RecordBatch.from_pandas(
+                    _flush(seg_l, doc_l, dl_l, tf_l, code_l),
+                    schema=out_schema, preserve_index=False,
+                )
                 seg_l, doc_l, dl_l, tf_l, code_l = [], [], [], [], []
                 pending = 0
         if seg_l:
-            yield _flush(seg_l, doc_l, dl_l, tf_l, code_l)
+            yield pa.RecordBatch.from_pandas(
+                _flush(seg_l, doc_l, dl_l, tf_l, code_l),
+                schema=out_schema, preserve_index=False,
+            )
 
-    return src.mapInPandas(build, schema=POSTING_SCHEMA)
+    return src.mapInArrow(build, schema=POSTING_SCHEMA)
 
 
 def build_terms(postings: DataFrame) -> DataFrame:
@@ -580,13 +689,19 @@ class IndexBuilder:
         if not (resume and self.has_marker("docs")):
             t0 = time.time()
             docs, n_docs, total_dl = build_docs(
-                corpus, key_cols, text_col, doc_id_col, self.num_segments
+                corpus, key_cols, text_col, doc_id_col, self.num_segments,
+                carry_tokens=True, keep_text=store_text,
             )
             # keep the assigned frame: it is already range-partitioned in
-            # doc_id order, so the posting build can run on it directly —
-            # no docs re-read and no second shuffle
+            # doc_id order AND carries the hashed-token arrays, so the
+            # posting build runs on it directly — no docs re-read, no
+            # second shuffle, and no second tokenizer pass over the text
             cached_docs = docs.persist()
-            to_store = cached_docs if store_text else cached_docs.drop(text_col)
+            base = [
+                c for c in cached_docs.columns
+                if c not in ("_toks", "doc_id", "sha256", "segment")
+            ]
+            to_store = cached_docs.select(*base, "doc_id", "sha256", "segment")
             to_store.write.mode("overwrite").partitionBy("segment").parquet(
                 docs_path
             )
@@ -597,7 +712,7 @@ class IndexBuilder:
                 # a zero-row partitionBy write emits NO files — leave a
                 # schema-bearing empty partition so every reader (and the
                 # first incremental add) still infers the layout
-                cached_docs.drop("segment").limit(0).write.mode(
+                to_store.drop("segment").limit(0).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(docs_path, "segment=-1"))
             if total_dl is not None:
@@ -628,7 +743,8 @@ class IndexBuilder:
                 # store_text=False resume: re-derive the assigned frame
                 # from the corpus (doc_id = sort rank — deterministic)
                 docs, _, _ = build_docs(
-                    corpus, key_cols, text_col, doc_id_col, self.num_segments
+                    corpus, key_cols, text_col, doc_id_col, self.num_segments,
+                    carry_tokens=True, keep_text=False,
                 )
                 cached_docs = docs.persist()
                 docs_df = cached_docs

@@ -805,6 +805,136 @@ def mut_publish_search(spark, sf_dir):
 
 
 @q(
+    "mut_access_modes",
+    """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+           '[a-z0-9_]+'))) AS term
+    FROM documents WHERE doc_id < 300) t
+  WHERE term = 'the' GROUP BY doc_id)
+SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_admin,
+       CAST((SELECT count(*) FROM m JOIN documents d USING (doc_id)
+             WHERE d.lang = 'en' OR d.source IN ('src3','src7','src11'))
+            AS BIGINT) AS n_user,
+       CAST(0 AS BIGINT) AS n_empty
+""",
+)
+def mut_access_modes(spark, sf_dir):
+    """A4 admin mode + A5 empty-access short-circuit, gate-visible: the
+    same match evaluated under three AccessFilters — admin sees every hit
+    regardless of share/publish flags (ElasticIndexingStorage.java:
+    1423-1440), a group-7 user sees public∪shared (A1/A2), and an
+    empty filter returns ZERO rows without touching the index
+    (:1506-1511)."""
+    from .search import AccessFilter, MatchFilter, Pagination
+
+    index = _mut_index(spark, sf_dir)
+    mf = MatchFilter(full_text="the")
+    pg = Pagination(0, 1000)
+    n_admin = search_objects_facade(
+        index, mf, access=AccessFilter(admin=True), pagination=pg
+    ).count()
+    n_user = search_objects_facade(
+        index, mf,
+        access=AccessFilter(user_groups=[7], with_public=True),
+        pagination=pg,
+    ).count()
+    n_empty = search_objects_facade(
+        index, mf, access=AccessFilter(), pagination=pg
+    ).count()
+    return spark.createDataFrame(
+        [(n_admin, n_user, n_empty)],
+        "n_admin bigint, n_user bigint, n_empty bigint",
+    )
+
+
+@q(
+    "api_skip_keys",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang IN ('en', 'de') AND n_chars >= 200
+ORDER BY doc_id LIMIT 30
+""",
+)
+def api_skip_keys(spark, sf_dir):
+    """PostProcessing skip family through the facade (P10 variants;
+    KBaseSearchEngine.spec:133-154 skip_keys/skip_data,
+    SearchMethods.java:179-194): skip_data drops the payload column,
+    select_keys whitelists extracted keys — asserted gone before the
+    final projection."""
+    from .search import MatchFilter, Pagination, PostProcessing
+
+    index = get_index(spark, sf_dir)
+    out = search_objects_facade(
+        index,
+        MatchFilter(term_in={"lang": ["en", "de"]},
+                    ranges={"n_chars": (200, None)}),
+        pagination=Pagination(0, 30),
+        post=PostProcessing(skip_data=True, select_keys=["lang", "n_chars"]),
+    )
+    assert "text" not in out.columns, "skip_data must drop the payload"
+    assert "source" not in out.columns, "select_keys must drop other keys"
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "idx_resume_rebuild",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents WHERE doc_id < 400)
+SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < 400)
+            AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM tok) AS BIGINT) AS total_dl,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT doc_id, t FROM tok))
+            AS BIGINT) AS total_postings
+""",
+)
+def idx_resume_rebuild(spark, sf_dir):
+    """E2/S3 gate-visible: the event-state/lineage machine survives a
+    mid-build kill. Build over doc_id<400 with max_groups=1 fault
+    injection (2 segment groups pending -> killed after the first
+    commit), then re-enter with resume=True: only unmarked groups
+    rebuild, and the resumed index's stats + summed postings equal the
+    raw-corpus truth (reference: IndexerWorker restart semantics over
+    the event store, main/IndexerWorker.java)."""
+    import json as _json
+    import shutil
+
+    sub = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    tag = hashlib.md5(
+        ("resume:" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"kbse_resume_v{FORMAT_VERSION}_{tag}"
+    )
+    b = IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=2)
+    if not b.has_marker("terms"):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        killed = False
+        try:
+            b.build(sub, key_cols=["doc_id"], text_col="text",
+                    doc_id_col="doc_id", resume=True, max_groups=1)
+        except RuntimeError:
+            killed = True
+        assert killed, "fault injection must kill the first build"
+        assert b.has_marker("group-0") and not b.has_marker("group-1")
+        b.build(sub, key_cols=["doc_id"], text_col="text",
+                doc_id_col="doc_id", resume=True)
+    with open(os.path.join(idx_dir, "stats.json")) as f:
+        stats = _json.load(f)
+    total_postings = (
+        spark.read.parquet(os.path.join(idx_dir, "postings"))
+        .agg(F.sum("df")).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(int(stats["n_docs"]), int(stats["total_dl"]), int(total_postings))],
+        "n_docs bigint, total_dl bigint, total_postings bigint",
+    )
+
+
+@q(
     "events_undelete",
     """
 WITH ev AS (
