@@ -879,6 +879,43 @@ def api_skip_keys(spark, sf_dir):
 
 
 @q(
+    "api_rpc_search",
+    """
+SELECT doc_id AS guid, lang FROM documents
+WHERE source IN ('src1', 'src2') AND lang = 'en'
+ORDER BY doc_id LIMIT 20
+""",
+)
+def api_rpc_search(spark, sf_dir):
+    """S8 gate-visible: the full JSON-RPC envelope path —
+    KBaseSearchEngine.search_objects request dict -> param translation
+    (SearchMethods.java:102-194 analog) -> facade -> ObjectData result
+    dicts (KBaseSearchEngineServer.java:232-240). source_tags whitelist +
+    lookup_in_keys term, skip_data post-processing."""
+    from ..api.rpc import RpcService
+
+    svc = RpcService(get_index(spark, sf_dir), type_col="lang")
+    resp = svc.handle({
+        "version": "1.1", "id": "drv",
+        "method": "KBaseSearchEngine.search_objects",
+        "params": [{
+            "match_filter": {
+                "source_tags": ["src1", "src2"],
+                "lookup_in_keys": {"lang": {"value": "en"}},
+            },
+            "pagination": {"start": 0, "count": 20},
+            "post_processing": {"skip_data": 1},
+        }],
+    })
+    assert "error" not in resp, resp.get("error")
+    objs = resp["result"][0]["objects"]
+    return spark.createDataFrame(
+        [(int(o["guid"]), o["object_props"]["lang"]) for o in objs],
+        "guid bigint, lang string",
+    )
+
+
+@q(
     "idx_resume_rebuild",
     """
 WITH tok AS (
