@@ -50,9 +50,12 @@ def main() -> None:
     warm = IndexBuilder(
         spark, idx_dir + "_warmup", num_segments=32, segments_per_commit=32
     )
+    # a small prefix is enough to reach steady state (JIT of the codegen'd
+    # regex/hash + Python-worker/Arrow pool spin-up are one-time costs);
+    # warming on the full corpus would double every measured run
     warm.build(
-        corpus, key_cols=["repo", "path", "commit"], resume=False,
-        store_text=False,
+        corpus.limit(60000), key_cols=["repo", "path", "commit"],
+        resume=False, store_text=False,
     )
     import shutil
 
