@@ -111,6 +111,19 @@ def _apply_transform(col: Column, r: Rule) -> Column:
         return F.size(col).cast("bigint")
     if t == "json_size":  # G2 {size} over a JSON-path source (array length)
         return F.json_array_length(col).cast("bigint")
+    if t == "guid" or t.startswith("guid:"):
+        # T5 guid transform (KeywordParser.java:254-272): a reference
+        # value ("1/2/3", an object ref) becomes a GUID string prefixed
+        # with the target type's storage code ("WS:1/2/3"). Existence
+        # validation / recursive resolution of the produced GUIDs is the
+        # separate J5 operator (operators/refs.py — the lookup.resolveRefs
+        # + GUIDNotFoundException analog), kept off the extraction path so
+        # extraction stays a pure projection.
+        code = t.split(":", 1)[1] if ":" in t else "WS"
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit(code + ":"), col.cast("string")),
+        )
     if t.startswith("location."):
         # tuple [contig_id, start, strand, length]; strand-dependent
         # arithmetic per KeywordParser.java:344-359

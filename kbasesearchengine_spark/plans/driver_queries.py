@@ -879,6 +879,90 @@ def api_skip_keys(spark, sf_dir):
 
 
 @q(
+    "rel_ref_closure",
+    """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, (2*doc_id+1) % 500 AS dst FROM documents
+  WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id, (3*doc_id+7) % 500 FROM documents WHERE doc_id < 500
+),
+r AS (
+  SELECT doc_id AS id, 0 AS hop FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id WHERE r.hop < 5
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(hop) AS BIGINT) AS hop
+FROM r GROUP BY id ORDER BY id
+""",
+)
+def rel_ref_closure(spark, sf_dir):
+    """J5 recursive guid ref-resolution: the transitive closure an
+    object's references pull in (lookup.resolveRefs walking workspace ref
+    paths, parse/KeywordParser.java:271; recursive indexing of referenced
+    objects). Deterministic synthetic ref edges over documents
+    (dst = (2i+1)%500 and (3i+7)%500), 3 roots, 5 hops; Spark BFS
+    min-hop closure vs a DuckDB recursive CTE."""
+    from ..operators.refs import ref_closure
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500).select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 500).alias("dst"),
+    ).union(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 3 + 7) % 500).alias("dst"),
+        )
+    )
+    roots = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("id")
+    )
+    out = ref_closure(edges, roots, max_hops=5, id_col="id")
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("hop").cast("bigint").alias("hop"),
+    ).orderBy("id")
+
+
+@q(
+    "xf_guid_refs",
+    """
+SELECT doc_id, 'WS:' || CAST((doc_id * 7) % 120 AS VARCHAR) AS ref_guid,
+       (doc_id * 7) % 120 < 100 AS found
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""",
+)
+def xf_guid_refs(spark, sf_dir):
+    """T5 guid transform through the rule engine + J5 validation join:
+    a ref-valued key becomes a storage-code-prefixed GUID string
+    (KeywordParser.java:254-272), then validate_refs marks each against
+    the catalog (GUIDNotFoundException analog as a found flag)."""
+    from ..functions.transforms import Rule, apply_rules
+    from ..operators.refs import validate_refs
+
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 100)
+        .withColumn("_ref", ((F.col("doc_id") * 7) % 120).cast("string"))
+    )
+    extracted = apply_rules(
+        base, [Rule(name="ref_guid", path="_ref", transform="guid:WS")]
+    )
+    catalog = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 100)
+        .select(F.concat(F.lit("WS:"), F.col("doc_id").cast("string"))
+                .alias("guid"))
+    )
+    return (
+        validate_refs(extracted, catalog, ref_col="ref_guid")
+        .select("doc_id", "ref_guid", "found")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "api_rpc_search",
     """
 SELECT doc_id AS guid, lang FROM documents

@@ -32,6 +32,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = default_shuffle
 
+    # Python-worker allocator tuning, inherited through the JVM (set
+    # BEFORE the gateway launches; glibc reads these at process start).
+    # The posting kernel's numpy buffers are >32 MB, which glibc ALWAYS
+    # serves via fresh mmap and returns via munmap — so every Arrow batch
+    # re-pays first-touch page faults, a cost that is (a) kernel-side and
+    # serializing under concurrency, (b) brutal on an oversubscribed
+    # guest (measured here: up to 40x a warm write pass). Raising the
+    # mmap/trim thresholds keeps those blocks on the heap free-list —
+    # each worker faults its arena once and reuses it for every
+    # subsequent batch. ~1-2 GB steady RSS per worker, by design.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
