@@ -287,16 +287,25 @@ def tokenize_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
             )
             if lens.sum() == 0:
                 continue
-            ridx = np.repeat(np.arange(len(toks_list)), lens)
+            ridx = np.repeat(
+                np.arange(len(toks_list), dtype=np.int32), lens
+            )
             flat = np.concatenate([t for t in toks_list if len(t)])
             # integer-key tf aggregation: factorize the int64 hashes once
             # (vectorized int hashing), then one np.unique over composite
-            # (row, term) int64 keys — no object hashing anywhere
+            # (row, term) keys — int32-narrowed when the range fits (see
+            # build_postings_from_docs)
             codes, uniq_hashes = pd.factorize(flat, sort=False)
-            key = ridx * np.int64(len(uniq_hashes)) + codes
+            n_uniq = len(uniq_hashes)
+            if len(toks_list) * n_uniq < (1 << 31):
+                key = ridx * np.int32(n_uniq) + codes.astype(
+                    np.int32, copy=False
+                )
+            else:
+                key = ridx.astype(np.int64) * np.int64(n_uniq) + codes
             ukey, counts = np.unique(key, return_counts=True)
-            rr = (ukey // len(uniq_hashes)).astype(np.int64)
-            tcode = (ukey % len(uniq_hashes)).astype(np.int64)
+            rr = (ukey // n_uniq).astype(np.int64)
+            tcode = (ukey % n_uniq).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy()[rr],
@@ -557,15 +566,27 @@ def build_postings_from_docs(
             flat = toks.flatten().to_numpy(zero_copy_only=False)
             if flat.size == 0:
                 continue
-            ridx = np.repeat(np.arange(len(toks)), lens)
+            ridx = np.repeat(
+                np.arange(len(toks), dtype=np.int32), lens
+            )
             # tf aggregation on int64 hashes: factorize (vectorized int
             # hashing — no Python-object traffic), then one np.unique
-            # over composite (row, term) int64 keys
+            # over composite (row, term) keys. The kernel is DRAM-bound,
+            # so the composite key narrows to int32 whenever
+            # rows x batch-vocab fits — the unique's sort then moves half
+            # the bytes (typical: ~10k rows x vocab well under 2^31);
+            # gigantic per-batch vocabularies fall back to int64.
             codes, uniq_hashes = pd.factorize(flat, sort=False)
-            key = ridx * np.int64(len(uniq_hashes)) + codes
+            n_uniq = len(uniq_hashes)
+            if len(toks) * n_uniq < (1 << 31):
+                key = ridx * np.int32(n_uniq) + codes.astype(
+                    np.int32, copy=False
+                )
+            else:
+                key = ridx.astype(np.int64) * np.int64(n_uniq) + codes
             ukey, counts = np.unique(key, return_counts=True)
-            rr = (ukey // len(uniq_hashes)).astype(np.int64)
-            tcode = (ukey % len(uniq_hashes)).astype(np.int64)
+            rr = (ukey // n_uniq).astype(np.int64)
+            tcode = (ukey % n_uniq).astype(np.int64)
             seg_np = rb.column(cols["segment"]).to_numpy(zero_copy_only=False)
             doc_np = rb.column(cols["doc_id"]).to_numpy(zero_copy_only=False)
             dl_np = rb.column(cols["dl"]).to_numpy(zero_copy_only=False)
