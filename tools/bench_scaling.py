@@ -266,9 +266,10 @@ results across parallelism.
 
 **Scaling efficiency = ({r4['docs_per_sec']} / {rn['docs_per_sec']}) / 4
 = {eff:.3f}** {'(≥0.8 ✓)' if eff >= 0.8 else '(< 0.8 ✗ against the raw bar)'}
-(= {eff/ceiling:.3f} of the pure-CPU ceiling, **{eff/memceil:.3f} of the
-memory-bound ceiling** — above 1.0 means the engine scales better than a
-plain bandwidth-bound numpy kernel does on this host)
+(= {eff/ceiling:.3f} of the pure-CPU ceiling, {eff/memceil:.3f} of the
+cache-tier memory ceiling, **{eff/streamceil:.3f} of the DRAM-streaming
+ceiling** — above 1.0 means the whole build scales better than a plain
+bandwidth-bound numpy kernel does on this host)
 
 ## Per-phase scaling (lineage-marker seconds, best run per level)
 
