@@ -116,12 +116,34 @@ def _git_sha() -> str:
         return "unknown"
 
 
+def _code_key() -> str:
+    """Identity of the MEASURED JOB: a digest of the engine package +
+    the worker script. Runs are comparable iff this matches — the git
+    SHA is too strict (doc/report-only commits would orphan earlier
+    same-job windows in the best-of-history mix)."""
+    import hashlib
+
+    h = hashlib.md5()
+    paths = [os.path.join(REPO, "tools", "scale_worker.py")]
+    pkg = os.path.join(REPO, "kbasesearchengine_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                paths.append(os.path.join(root, f))
+    for p in sorted(paths):
+        with open(p, "rb") as f:
+            h.update(p.encode())
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def record_run(d: dict, n_rows: int) -> None:
     os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
     with open(HISTORY, "a") as f:
         f.write(json.dumps({
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             "sha": _git_sha(),
+            "code_key": _code_key(),
             "cores": d["cores"], "n_rows": n_rows,
             "build_sec": d["build_sec"], "docs_per_sec": d["docs_per_sec"],
             "phase_sec": d.get("phase_sec", {}),
@@ -129,21 +151,25 @@ def record_run(d: dict, n_rows: int) -> None:
 
 
 def best_from_history(cores: int, n_rows: int) -> dict | None:
-    """Best recorded run for THIS code version only — mixing a fast
-    window measured on different code would compare apples to oranges
-    (both levels must run the identical job)."""
+    """Best recorded run for THIS measured job only — mixing a fast
+    window measured on different engine code would compare apples to
+    oranges (both levels must run the identical job). Matched by
+    code_key (content digest of the engine + worker); rows predating
+    code_key fall back to exact git-SHA match."""
     if not os.path.exists(HISTORY):
         return None
     sha = _git_sha()
+    key = _code_key()
     best = None
     with open(HISTORY) as f:
         for line in f:
             d = json.loads(line)
-            if (
-                d["cores"] == cores
-                and d["n_rows"] == n_rows
-                and d.get("sha") == sha
-            ):
+            same_job = (
+                d.get("code_key") == key
+                if d.get("code_key")
+                else d.get("sha") == sha
+            )
+            if d["cores"] == cores and d["n_rows"] == n_rows and same_job:
                 if best is None or d["docs_per_sec"] > best["docs_per_sec"]:
                     best = d
     return best
