@@ -39,6 +39,7 @@ from ..plans.search import (
     Pagination,
     PostProcessing,
     SortingRule,
+    count_objects,
     get_objects,
     search_objects,
     search_types,
@@ -180,9 +181,17 @@ class RpcService:
             objects = [{"guid": r["doc_id"]} for r in rows]
         else:
             objects = [_object_data(r) for r in rows]
+        # total = hits.total: the FULL match-set size, not the page size
+        # (spec KBaseSearchEngine.spec:262,281; ES hits.total via
+        # ElasticIndexingStorage.java:1557). A short first page needs no
+        # second job — the page already IS the whole match set.
+        if pagination.start == 0 and len(objects) < pagination.count:
+            total = len(objects)
+        else:
+            total = count_objects(self.index, mf, access=access)
         return {
             "objects": objects,
-            "total": len(objects),
+            "total": total,
             "search_time": int((time.time() - t0) * 1000),
             "pagination": {"start": pagination.start,
                            "count": pagination.count},

@@ -10,6 +10,9 @@ withColumn chain — Catalyst expressions only, no UDFs:
   T3 values flatten     KeywordParser.java:227-249
   T4 location destructure (contig/start/stop/length/strand arithmetic)
                         KeywordParser.java:331-371
+  T6 lookup.<target-key> (cross-document enrichment through a reference
+                        value) KeywordParser.java:309-324 — dispatched
+                        from the rule system to a broadcast join (J6)
   T7 optional default   KeywordParser.java:181-187
   T8 derived keys (source-key DAG, cycle detection)
                         KeywordParser.java:83-166 (cycle error :140-143)
@@ -147,12 +150,63 @@ def _apply_transform(col: Column, r: Rule) -> Column:
     raise ValueError(f"unknown transform {t!r}")
 
 
+def _parse_lookup(t: str) -> tuple[str, str] | None:
+    """'lookup:<dim>.<col>' / 'lookup.<dim>.<col>' -> (dim, col)."""
+    if t.startswith("lookup:"):
+        body = t.split(":", 1)[1]
+    elif t.startswith("lookup."):
+        body = t.split(".", 1)[1]
+    else:
+        return None
+    if "." not in body:
+        raise ValueError(
+            f"lookup transform needs <dimension>.<target-key>, got {t!r}"
+        )
+    dim, col = body.split(".", 1)
+    return dim, col
+
+
 def apply_rules(
-    df: DataFrame, rules: list[Rule], json_col: str | None = None
+    df: DataFrame,
+    rules: list[Rule],
+    json_col: str | None = None,
+    lookups: dict | None = None,
 ) -> DataFrame:
-    """Compile a rule list into a withColumn chain (topo order)."""
+    """Compile a rule list into a withColumn chain (topo order).
+
+    lookups: {dim_name: (dim_df, key_col)} registry backing T6
+    `lookup.<target-key>` rules (KeywordParser.java:309-324 — the
+    reference resolves a reference-valued key against another indexed
+    document and pulls one of ITS keys). Spark disposition: a broadcast
+    left join per looked-up dimension (J6) — the dimension is the small
+    side by construction (it is a keyed metadata table), so the fact
+    scan never shuffles.
+    """
     out = df
+    lookups = lookups or {}
     for r in _toposort(rules):
+        lk = _parse_lookup(r.transform)
+        if lk is not None:
+            dim_name, target_col = lk
+            if dim_name not in lookups:
+                raise ValueError(
+                    f"rule {r.name}: lookup dimension {dim_name!r} not "
+                    f"registered (have {sorted(lookups)})"
+                )
+            dim_df, dim_key = lookups[dim_name]
+            tmp = f"__lk_{r.name}"
+            side = dim_df.select(
+                F.col(dim_key).alias(tmp), F.col(target_col).alias(r.name)
+            )
+            out = out.join(
+                F.broadcast(side), _source_expr(r, json_col) == F.col(tmp),
+                "left",
+            ).drop(tmp)
+            if r.default is not None:
+                out = out.withColumn(
+                    r.name, F.coalesce(F.col(r.name), F.lit(r.default))
+                )
+            continue
         col = _apply_transform(_source_expr(r, json_col), r)
         if r.default is not None:
             col = F.coalesce(col, F.lit(r.default))

@@ -64,6 +64,16 @@ class TypeSpec:
     storage_object_type: str
     versions: list[list[Rule]]   # 1-based search versions, versions[v-1]
     ui: dict = dc_field(default_factory=dict)  # key -> {ui-name, ui-hidden}
+    # sub-object extraction (reference: ObjectTypeParsingRules
+    # path-to-sub-objects / sub-object-type, e.g. GenomeFeature.yaml:6-8):
+    # each element of the repeated field at sub_object_path becomes its
+    # own child document with a composite GUID, indexed into a PHYSICAL
+    # `*_sub` child index (ElasticIndexingStorage.java:297-302 naming;
+    # default searches exclude `-*_sub`, :62,1544-1546). The path names
+    # an array column of the object frame (JSON paths can be projected
+    # into one by a prior rule).
+    sub_object_path: str | None = None
+    sub_object_type: str | None = None
 
     @property
     def latest_version(self) -> int:
@@ -164,12 +174,17 @@ def parse_spec(text: str) -> TypeSpec:
         if not rules:
             raise TypeSpecError(f"type {name} v{vi}: empty indexing-rules")
         versions.append(rules)
+    sub_path = doc.get("sub-object-path") or doc.get("path-to-sub-objects")
     return TypeSpec(
         name=name,
         storage_type=str(doc["storage-type"]),
         storage_object_type=str(doc["storage-object-type"]),
         versions=versions,
         ui=ui,
+        sub_object_path=str(sub_path) if sub_path is not None else None,
+        sub_object_type=(
+            str(doc["sub-object-type"]) if "sub-object-type" in doc else None
+        ),
     )
 
 

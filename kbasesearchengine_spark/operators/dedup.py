@@ -132,13 +132,53 @@ def minhash_band_buckets(
 
 
 def dedup_minhash_candidates(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int | None = 1000,
+    exact_prefilter: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
-    The join key is (band, bucket) — bounded buckets, no O(n²)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n)
+    The join key is (band, bucket); two guards bound the per-bucket pair
+    fan-out at crawl scale (a 100-TB corpus has million-way duplicate
+    clusters whose single bucket would emit m²/2 pairs):
+
+      exact_prefilter  collapse byte-identical texts to their min-id
+                       representative BEFORE shingling (one md5 groupBy +
+                       an id semi-join). Exact clusters are dedup_exact's
+                       job; LSH only needs one member per cluster, and the
+                       representative still pairs with true NEAR-dups.
+      max_bucket       drop (band, bucket) groups larger than this —
+                       skew backstop for near-identical (not byte-equal)
+                       mega-clusters. Recall trade, documented: members
+                       of an over-cap bucket can still pair through their
+                       other bands; a cluster saturating EVERY band is
+                       effectively an exact-dup family at shingle level
+                       and belongs to the prefilter/dedup_exact path.
+
+    Both are no-ops on corpora without such clusters (the driver oracle
+    reproduces the uncapped pipeline and stays hash-identical at sf0.01;
+    the skew behavior is pinned by tests/test_queryset_skew.py)."""
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    if exact_prefilter:
+        surv = (
+            d.select("id", F.md5("__t").alias("__h"))
+            .groupBy("__h")
+            .agg(F.min("id").alias("id"))
+            .select("id")
+        )
+        d = d.join(surv, "id", "left_semi")
+    sigs = minhash_signatures(d, "id", "__t", n)
     buckets = minhash_band_buckets(sigs)
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bn")
+        )
+        buckets = buckets.join(
+            sizes.where(F.col("__bn") <= max_bucket), ["band", "bucket"]
+        )
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     return (

@@ -508,7 +508,31 @@ def build_postings_from_docs(
         # column here — the single biggest memory-bandwidth cost in the
         # build; round 2 kept a string->code dict; v4 removes strings from
         # the kernel entirely.)
-        order = np.argsort(codes, kind="stable")
+        #
+        # v4.1: RADIX PRE-BUCKET by the hash's top byte before the stable
+        # argsort. The flush buffer is up to FLUSH_PAIRS (12M) int64s; a
+        # single stable mergesort over it streams multi-GB of DRAM — the
+        # measured scaling limiter on shared-memory hosts (BENCH/
+        # BASELINE.md group-0 phase). The byte pass is an O(n) counting
+        # sort, and each of the 256 sub-sorts then works a ~n/256 run
+        # (~47k rows, ~370 KB — cache-resident), cutting the sort's DRAM
+        # traffic by the merge depth. Hashes are uniform, so buckets are
+        # balanced by construction. Resulting order = uint64-hash order
+        # (grouping and within-group (segment, doc) stability identical;
+        # no reader depends on signed row order).
+        u = codes.view(np.uint64)
+        byte = (u >> np.uint64(56)).astype(np.uint8)
+        o1 = np.argsort(byte, kind="stable")  # counting/radix, O(n)
+        codes_b = codes[o1]
+        counts = np.bincount(byte, minlength=256)
+        order = np.empty_like(o1)
+        pos = 0
+        for c in counts:
+            c = int(c)
+            if c:
+                sub = np.argsort(codes_b[pos:pos + c], kind="stable")
+                order[pos:pos + c] = o1[pos:pos + c][sub]
+                pos += c
         seg, doc, dl, tf, codes = (
             seg[order], doc[order], dl[order], tf[order], codes[order]
         )
@@ -929,6 +953,7 @@ def build_from_spec(
     json_col: str | None = None,
     num_segments: int = 16,
     segments_per_commit: int | None = None,
+    lookups: dict | None = None,
 ) -> dict:
     """Spec-driven index build (S7 end-to-end): extraction, storage and
     indexing decisions all come from a versioned YAML TypeSpec
@@ -941,11 +966,13 @@ def build_from_spec(
       - full-text keys marked not-indexed are stored WITHOUT postings
         (T9, IndexingRules.java:77-82 "keep on document, exclude from
         index")
+      - lookups: {dim: (df, key_col)} registry for T6 `lookup.` rules
+        (KeywordParser.java:309-324) — compiled to broadcast joins
     """
     from ..functions.transforms import apply_rules
 
     rules = spec.rules(version)
-    docs_src = apply_rules(objects, rules, json_col=json_col)
+    docs_src = apply_rules(objects, rules, json_col=json_col, lookups=lookups)
     indexed = set(spec.indexed_keys(version))
     ft = [r.name for r in rules if r.full_text and r.name in indexed]
     if not ft:
@@ -963,7 +990,50 @@ def build_from_spec(
     stats["stored_only"] = [
         r.name for r in rules if r.full_text and r.name not in indexed
     ]
+    if getattr(spec, "sub_object_path", None):
+        stats["sub_index"] = build_sub_index(
+            spark, index_dir, docs_src, spec, key_cols,
+            num_segments=num_segments,
+        )
     return stats
+
+
+def build_sub_index(
+    spark: SparkSession,
+    index_dir: str,
+    docs_src: DataFrame,
+    spec,
+    key_cols: list[str],
+    num_segments: int = 4,
+) -> dict:
+    """Physical `*_sub` child index from the spec's sub-object-path
+    (reference: ObjectTypeParsingRules subObjectType + path-to-sub-objects,
+    GenomeFeature.yaml:6-8; per-(type,version) `_sub` index naming
+    ElasticIndexingStorage.java:297-302; default searches exclude
+    `-*_sub`, :62,1544-1546 — here the exclusion is structural: child
+    postings live under <index_dir>/sub/ and the primary index never
+    sees them).
+
+    Each element of the repeated field becomes its own child document
+    (composite GUID `<parent-key>:<ordinal>`, KeywordParser.java:273-293)
+    with ITS OWN postings and BM25 statistics — a GenomeFeature-style
+    user searches child docs through child-scoped df/avgdl, exactly
+    Lucene's separate-index semantics. Same format/readers/resume
+    protocol as the primary (InvertedIndex.sub_index())."""
+    from ..functions.transforms import explode_subobjects
+
+    children = explode_subobjects(
+        docs_src, key_cols, spec.sub_object_path
+    )
+    sub_dir = os.path.join(index_dir, "sub")
+    b = IndexBuilder(
+        spark, sub_dir, num_segments=num_segments,
+        segments_per_commit=num_segments,
+    )
+    stats = b.build(children, key_cols=["sub_id"], text_col="sub_value")
+    stats["sub_object_type"] = getattr(spec, "sub_object_type", None)
+    return {"n_children": stats["n_docs"], "dir": sub_dir,
+            "sub_object_type": stats["sub_object_type"]}
 
 
 def build_versioned_from_spec(

@@ -16,6 +16,7 @@ re-analyze content.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -69,8 +70,13 @@ def update_docs_fields(
     ).parquet(docs_path)
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # marker name must be stable ACROSS processes (idempotence protocol):
+    # md5 of the sorted field names — Python's hash() is per-process salted
+    field_tag = hashlib.md5(
+        ",".join(sorted(str(k) for k in assignments)).encode()
+    ).hexdigest()[:8]
     IndexBuilder(spark, index_dir).write_marker(
-        f"update-{min(segs)}-{max(segs)}-{abs(hash(tuple(sorted(assignments)))) % 10**8}",
+        f"update-{min(segs)}-{max(segs)}-{field_tag}",
         {"updated_rows": int(n), "updated_segments": sorted(segs),
          "fields": sorted(str(k) for k in assignments)},
     )
@@ -96,8 +102,43 @@ def set_access_group(
 ) -> dict:
     """M2/M3 share/unshare collapsed to metadata (SURVEY §2.3): record the
     access group and the shared flag on matching docs
-    (ElasticIndexingStorage.java:666-763)."""
+    (ElasticIndexingStorage.java:666-763). Single-group legacy form; the
+    multi-group array semantics live in share_with_group/unshare_group."""
     return update_docs_fields(
         spark, index_dir, predicate,
         {"access_group": int(group), "shared": bool(shared)},
     )
+
+
+def share_with_group(spark, index_dir: str, predicate: Column, group: int) -> dict:
+    """M2 share, multi-group: the reference stores per-version group ARRAYS
+    (lastin[]/groups[], ElasticIndexingStorage.java:666-763 — one doc can
+    be shared into several groups; exercised by testSharing :726-773).
+    access_groups is array<int>; sharing is an idempotent array_union."""
+    g = int(group)
+    return update_docs_fields(
+        spark, index_dir, predicate,
+        {"access_groups": F.array_union(_groups_col(spark, index_dir),
+                                        F.array(F.lit(g)))},
+    )
+
+
+def unshare_group(spark, index_dir: str, predicate: Column, group: int) -> dict:
+    """M3 unshare, multi-group: remove ONE group, keep the rest
+    (ElasticIndexingStorage.java unshare script removes the id from the
+    arrays without touching other grants)."""
+    return update_docs_fields(
+        spark, index_dir, predicate,
+        {"access_groups": F.array_remove(_groups_col(spark, index_dir),
+                                         int(group))},
+    )
+
+
+def _groups_col(spark, index_dir: str) -> Column:
+    """Current access_groups value, [] when the column doesn't exist yet
+    (first share on a fresh index can't reference a missing column)."""
+    empty = F.expr("CAST(array() AS array<int>)")
+    docs_path = os.path.join(index_dir, "docs")
+    if "access_groups" in spark.read.parquet(docs_path).columns:
+        return F.coalesce(F.col("access_groups"), empty)
+    return empty

@@ -90,13 +90,24 @@ def ref_closure(
             .join(visited.select(id_col), id_col, "left_anti")
             .withColumn("hop", F.lit(hop))
         )
-        if checkpoint_every and hop % checkpoint_every == 0:
+        checkpointed = bool(checkpoint_every and hop % checkpoint_every == 0)
+        if checkpointed:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist()
         if nxt.limit(1).count() == 0:
+            if not checkpointed:
+                nxt.unpersist()
             break
         new_visited = visited.union(nxt).persist()
+        new_visited.count()  # materialize BEFORE dropping the inputs
+        # executor storage must stay O(closure), not O(closure * hops):
+        # release the superseded visited frame once the union that
+        # subsumes it is materialized (checkpointed frontiers keep their
+        # blocks — dropping them would truncate new_visited's lineage)
+        visited.unpersist()
+        if not checkpointed:
+            nxt.unpersist()
         visited = new_visited
-        frontier = nxt.select(id_col)
+        frontier = new_visited.where(F.col("hop") == hop).select(id_col)
     return visited

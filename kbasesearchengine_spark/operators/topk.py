@@ -54,6 +54,19 @@ class InvertedIndex:
         self._dfs: dict[str, DataFrame] = {}
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        # fail FAST on a layout mismatch — a pre-v4 index lacks the
+        # term_hash key and the block byte offsets the lazy WAND decode
+        # needs, and would otherwise die deep inside query execution
+        # with an opaque KeyError
+        from .indexer import FORMAT_VERSION
+
+        got = self.stats.get("format_version")
+        if got != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir!r} has format_version={got!r}; this "
+                f"reader needs {FORMAT_VERSION}. Rebuild the index "
+                "(IndexBuilder.build) — on-disk layouts are not migrated."
+            )
 
     def _tbl(self, name: str) -> DataFrame:
         if name not in self._dfs:
@@ -107,6 +120,25 @@ class InvertedIndex:
             # lifecycle: dropped on refresh())
             self._dfs[key] = InvertedIndex(
                 self.spark, os.path.join(self.index_dir, "fields", field)
+            )
+        return self._dfs[key]
+
+    def has_sub_index(self) -> bool:
+        return os.path.exists(
+            os.path.join(self.index_dir, "sub", "stats.json")
+        )
+
+    def sub_index(self) -> "InvertedIndex":
+        """The physical `*_sub` child index (U2; ElasticIndexingStorage.
+        java:297-302 naming) built by indexer.build_sub_index from the
+        spec's sub-object-path: child documents with their OWN postings
+        and BM25 statistics. Default searches never touch it — child
+        postings are structurally excluded; pass include_subobjects to
+        the facade (or use this handle) to search them."""
+        key = "sub:"
+        if key not in self._dfs:
+            self._dfs[key] = InvertedIndex(
+                self.spark, os.path.join(self.index_dir, "sub")
             )
         return self._dfs[key]
 
@@ -239,6 +271,15 @@ def _segment_topk_kernel(
 
 # ------------------------------------------------------------- main entry
 
+# doc_filter strategy cutover: when the scored candidate set is (by df
+# bound) at most this many rows, score postings WITHOUT the filter and
+# broadcast the candidates to the predicate-pruned docs scan — the
+# exchange then carries ≤ this many (doc_id, score) pairs instead of the
+# full filtered doc set (which at 10^12 docs and a low-selectivity
+# predicate like lang='en' would ship ~10^11 rows per query). Above the
+# bound (stopword-ish queries), fall back to the per-segment cogroup.
+FILTER_CANDIDATE_MAX = 2_000_000
+
 
 def topk(
     index: InvertedIndex,
@@ -281,18 +322,54 @@ def topk(
     bc = spark.sparkContext.broadcast((idfs, avgdl, k, mode))
 
     if doc_filter is not None:
-        allowed_docs = index.docs.where(doc_filter).select("segment", "doc_id")
-
-        def score_cogroup(p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
-            idfs_, avgdl_, k_, mode_ = bc.value
-            allowed = np.sort(d_pdf["doc_id"].to_numpy(dtype=np.int64))
-            return _segment_topk_kernel(p_pdf, idfs_, avgdl_, k_, mode_, allowed)
-
-        scored = (
-            postings_q.groupBy("segment")
-            .cogroup(allowed_docs.groupBy("segment"))
-            .applyInPandas(score_cogroup, schema="doc_id bigint, score double")
+        # candidate bound from the term dictionary (already in hand — no
+        # extra job): AND intersection ≤ the rarest term's df; OR union ≤
+        # the df sum
+        est_candidates = (
+            min(dfs[t] for t in terms) if mode == "and"
+            else sum(dfs[t] for t in terms)
         )
+        if est_candidates <= FILTER_CANDIDATE_MAX:
+            # candidate-side predicate join (the 100-TB plan): score the
+            # postings UNFILTERED per segment (k=None — the rank cut must
+            # come after the predicate), then broadcast the bounded
+            # candidate set to the predicate-pruned docs scan. The doc
+            # predicate pushes to parquet; the only exchange is the
+            # candidate broadcast — thousands of rows, never the ~10^11
+            # docs a low-selectivity predicate passes.
+            def score_nofilter(pdf: pd.DataFrame) -> pd.DataFrame:
+                idfs_, avgdl_, _k, mode_ = bc.value
+                return _segment_topk_kernel(pdf, idfs_, avgdl_, None, mode_)
+
+            cand = postings_q.groupBy("segment").applyInPandas(
+                score_nofilter, schema="doc_id bigint, score double"
+            )
+            scored = index.docs.where(doc_filter).select("doc_id").join(
+                F.broadcast(cand), "doc_id"
+            )
+        else:
+            # stopword-scale candidate sets: ship the filtered doc list
+            # into the per-segment kernels instead (bounded by segment)
+            allowed_docs = index.docs.where(doc_filter).select(
+                "segment", "doc_id"
+            )
+
+            def score_cogroup(
+                p_pdf: pd.DataFrame, d_pdf: pd.DataFrame
+            ) -> pd.DataFrame:
+                idfs_, avgdl_, k_, mode_ = bc.value
+                allowed = np.sort(d_pdf["doc_id"].to_numpy(dtype=np.int64))
+                return _segment_topk_kernel(
+                    p_pdf, idfs_, avgdl_, k_, mode_, allowed
+                )
+
+            scored = (
+                postings_q.groupBy("segment")
+                .cogroup(allowed_docs.groupBy("segment"))
+                .applyInPandas(
+                    score_cogroup, schema="doc_id bigint, score double"
+                )
+            )
     else:
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -207,15 +207,18 @@ JOIN m USING (doc_id) GROUP BY d.lang ORDER BY d.lang
 """,
 )
 def ft_search_types(spark, sf_dir):
-    """search_types (G1): terms aggregation over matching docs
-    (ElasticIndexingStorage.java:1263-1302) — count per type for a
-    full-text match, size 0 (no hits)."""
+    """search_types (G1) THROUGH the SearchMethods facade: terms
+    aggregation over matching docs (ElasticIndexingStorage.java:1263-1302)
+    — count per type for a full-text match, size 0 (no hits). One query
+    covers both the engine aggregation and the facade surface (the r2
+    api_search_types variant, folded in to keep the driver's 50-query
+    gate window covering every operator)."""
+    from .search import MatchFilter, search_types
+
     index = get_index(spark, sf_dir)
-    matched = topk(index, "dup", k=None, mode="and", hydrate=False).select("doc_id")
     return (
-        index.docs.join(matched, "doc_id", "left_semi")
-        .groupBy(F.col("lang").alias("type"))
-        .agg(F.count("*").alias("cnt"))
+        search_types(index, MatchFilter(full_text="dup"))
+        .select("type", F.col("count").alias("cnt"))
         .orderBy("type")
     )
 
@@ -270,12 +273,17 @@ ORDER BY doc_id
 """,
 )
 def ft_get_objects(spark, sf_dir):
-    """get_objects by id (J2, ElasticIndexingStorage.java:1102-1138) with
-    the per-row sha256(content) invariant column (md5 analog :404-410)."""
+    """get_objects by id THROUGH the facade (J2, ElasticIndexingStorage.
+    java:1102-1138) with the per-row sha256(content) invariant carried on
+    the index docs table (md5 analog :404-410; T14). Covers both the
+    GUID-list hydration and the facade surface (r2 api_get_objects
+    folded in)."""
+    from .search import get_objects
+
+    index = get_index(spark, sf_dir)
     return (
-        _docs(spark, sf_dir)
-        .where(F.col("doc_id").isin(3, 141, 77, 209, 0))
-        .select("doc_id", F.sha2("text", 256).alias("sha256"), "n_chars")
+        get_objects(index, [3, 141, 77, 209, 0])
+        .select("doc_id", "sha256", "n_chars")
         .orderBy("doc_id")
     )
 
@@ -393,15 +401,25 @@ def ft_exists_filter(spark, sf_dir):
 
 @q("ft_match_field", _bm25_oracle("src3 src5", 10, "or", col="source"))
 def ft_match_field(spark, sf_dir):
-    """Field-scoped match (P5): BM25 against the `source` field's OWN
-    postings and df/avgdl statistics — the reference's per-field match
-    (oname vs _all, ElasticIndexingStorage.java:1381-1383). Every doc has
-    dl=1 here, so scores tie within a source value and the pinned
-    deterministic tie-break (doc_id asc) carries the ranking."""
+    """Field-scoped match (P5) THROUGH the facade: BM25 against the
+    `source` field's OWN postings and df/avgdl statistics — the
+    reference's per-field match (oname vs _all, ElasticIndexingStorage.
+    java:1381-1383). Every doc has dl=1 here, so scores tie within a
+    source value and the pinned deterministic tie-break (doc_id asc)
+    carries the ranking. MatchFilter(field=...) + relevance sort +
+    pagination exercises the facade path too (r2 api_match_field folded
+    in)."""
+    from .search import MatchFilter, Pagination, SortingRule, search_objects
+
     index = get_index(spark, sf_dir)
-    return _ranked(
-        topk(index.field_index("source"), "src3 src5", 10, "or", hydrate=False)
+    out = search_objects(
+        index,
+        MatchFilter(full_text="src3 src5", full_text_mode="or",
+                    field="source"),
+        sorting=[SortingRule("relevance")],
+        pagination=Pagination(0, 10),
     )
+    return _ranked(out.select("doc_id", "score"))
 
 
 # =====================================================================
@@ -518,13 +536,24 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 """,
 )
 def rel_broadcast_lookup(spark, sf_dir):
-    """lookup transform (T6/J6, KeywordParser.java:309-324): enrich rows
-    from an already-indexed dimension via broadcast hash join."""
+    """lookup transform (T6/J6) dispatched FROM the spec rule system
+    (KeywordParser.java:309-324; system/Transform.java lookup variant):
+    a declarative Rule(transform='lookup:part.p_brand') enriches fact
+    rows from an already-indexed dimension — compiled by apply_rules to
+    a broadcast hash join (the dimension is the small side; the fact
+    scan never shuffles). Inner-join semantics via dropna on the looked-
+    up key (the reference skips docs whose reference target is absent)."""
+    from ..functions.transforms import Rule, apply_rules
+
     li = _tbl(spark, sf_dir, "lineitem")
     part = _tbl(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    enriched = apply_rules(
+        li,
+        [Rule("p_brand", path="l_partkey", transform="lookup:part.p_brand")],
+        lookups={"part": (part, "p_partkey")},
+    ).dropna(subset=["p_brand"])
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
+        enriched.groupBy("p_brand")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
         .orderBy("p_brand")
     )
@@ -561,28 +590,6 @@ def events_latest_per_user(spark, sf_dir):
 
 
 @q(
-    "events_type_counts",
-    """
-SELECT event_type, count(DISTINCT event_id) AS n_events,
-       round(sum(value), 4) AS total_value
-FROM events GROUP BY event_type ORDER BY event_type
-""",
-)
-def events_type_counts(spark, sf_dir):
-    """Event-state accounting (E2 state machine tallies; dedup by
-    event_id per EventQueue.java:86-99)."""
-    ev = _tbl(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("event_id").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@q(
     "events_expand_json",
     """
 SELECT event_type,
@@ -606,19 +613,51 @@ def events_expand_json(spark, sf_dir):
 @q(
     "events_windowed_counts",
     """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS cnt
-FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
+SELECT * FROM (
+  SELECT 'window' AS variant, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         event_type, count(*) AS a, NULL::DOUBLE AS b
+  FROM events GROUP BY 2, 3
+  ORDER BY 2, 3 LIMIT 200
+) UNION ALL
+SELECT 'total', NULL::TIMESTAMP, event_type,
+       count(DISTINCT event_id), round(sum(value), 4)
+FROM events GROUP BY 3
+ORDER BY variant, ws, event_type
 """,
 )
 def events_windowed_counts(spark, sf_dir):
-    """Tumbling-window aggregation (E7 windowed rates) — the exact
-    transform the Structured Streaming path runs under a watermark
-    (streaming/events.py run_windowed_stream; streaming equivalence
-    asserted in pytest), here driven in batch mode against the oracle."""
+    """Event aggregation compound (the r3 events_type_counts query folded
+    in): variant 'window' = tumbling-window counts (E7 windowed rates —
+    the exact transform the Structured Streaming path runs under a
+    watermark; streaming equivalence asserted in pytest), variant 'total'
+    = per-type state-machine tallies with event_id dedup (E2;
+    EventQueue.java:86-99)."""
     from ..streaming.events import windowed_type_counts
 
     ev = _tbl(spark, sf_dir, "events")
-    return windowed_type_counts(ev).orderBy("ws", "event_type").limit(200)
+    win = (
+        windowed_type_counts(ev)
+        .orderBy("ws", "event_type")
+        .limit(200)
+        .select(
+            F.lit("window").alias("variant"), "ws", "event_type",
+            F.col("cnt").cast("bigint").alias("a"),
+            F.lit(None).cast("double").alias("b"),
+        )
+    )
+    tot = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("event_id").alias("a"),
+            F.round(F.sum("value"), 4).alias("b"),
+        )
+        .select(
+            F.lit("total").alias("variant"),
+            F.lit(None).cast(win.schema["ws"].dataType).alias("ws"),
+            "event_type", "a", "b",
+        )
+    )
+    return win.unionByName(tot).orderBy("variant", "ws", "event_type")
 
 
 @q(
@@ -850,19 +889,102 @@ def mut_access_modes(spark, sf_dir):
 
 
 @q(
+    "mut_multigroup",
+    """
+WITH m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+           '[a-z0-9_]+'))) AS term
+    FROM documents WHERE doc_id < 200) t
+  WHERE term = 'the' GROUP BY doc_id),
+md AS (SELECT d.doc_id, d.source, d.lang FROM documents d JOIN m USING (doc_id))
+SELECT CAST((SELECT count(*) FROM md WHERE source = 'src2') AS BIGINT) AS n_g7,
+       CAST((SELECT count(*) FROM md WHERE source IN ('src2','src4'))
+            AS BIGINT) AS n_g9,
+       CAST(0 AS BIGINT) AS n_g5,
+       CAST((SELECT count(*) FROM md WHERE source = 'src2') AS BIGINT)
+         AS n_g7_or_g5
+""",
+)
+def mut_multigroup(spark, sf_dir):
+    """M2/M3 multi-group access arrays end-to-end (ElasticIndexingStorage.
+    java:666-763 stores per-version group ARRAYS — lastin[]/groups[]; one
+    doc shared into SEVERAL groups is visible to each, testSharing
+    :726-773): src2 docs are shared into groups 7 AND 9 (the second share
+    must not overwrite the first), src4 docs into 9 only, de docs into 5
+    then UNSHARED (revocation keeps other grants). Search THROUGH
+    AccessFilter with arrays_overlap:
+      n_g7      group-7 user -> src2 docs (visible despite ALSO in 9)
+      n_g9      group-9 user -> src2 ∪ src4 docs
+      n_g5      group-5 user -> 0 (grant revoked)
+      n_g7_or_g5  caller in {7,5} -> union over the caller's groups
+    """
+    from ..operators.mutate import share_with_group, unshare_group
+    from .search import AccessFilter, MatchFilter, Pagination
+
+    key = "mutmg:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), f"kbse_mutmg_v{FORMAT_VERSION}_{tag}"
+        )
+        IndexBuilder(
+            spark, idx_dir, num_segments=4, segments_per_commit=4
+        ).build(
+            _docs(spark, sf_dir).where(F.col("doc_id") < 200),
+            key_cols=["doc_id"],
+            text_col="text",
+            doc_id_col="doc_id",
+            resume=True,
+        )
+        # idempotent re-entry: the array column's presence marks the
+        # mutation pass as done (same protocol as _mut_index)
+        docs_cols = spark.read.parquet(os.path.join(idx_dir, "docs")).columns
+        if "access_groups" not in docs_cols:
+            share_with_group(spark, idx_dir, F.col("source") == "src2", 7)
+            share_with_group(spark, idx_dir, F.col("source") == "src2", 9)
+            share_with_group(spark, idx_dir, F.col("source") == "src4", 9)
+            share_with_group(spark, idx_dir, F.col("lang") == "de", 5)
+            unshare_group(spark, idx_dir, F.col("lang") == "de", 5)
+        _INDEX_CACHE[key] = idx_dir
+    index = InvertedIndex(spark, _INDEX_CACHE[key])
+    mf = MatchFilter(full_text="the")
+    pg = Pagination(0, 10_000)
+
+    def n(groups):
+        return search_objects_facade(
+            index, mf, access=AccessFilter(user_groups=groups), pagination=pg
+        ).count()
+
+    return spark.createDataFrame(
+        [(n([7]), n([9]), n([5]), n([7, 5]))],
+        "n_g7 bigint, n_g9 bigint, n_g5 bigint, n_g7_or_g5 bigint",
+    )
+
+
+@q(
     "api_skip_keys",
     """
-SELECT doc_id, lang, n_chars FROM documents
-WHERE lang IN ('en', 'de') AND n_chars >= 200
-ORDER BY doc_id LIMIT 30
+SELECT * FROM (
+  SELECT 'skip' AS variant, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+  FROM (SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang IN ('en', 'de') AND n_chars >= 200
+        ORDER BY doc_id LIMIT 30)
+  UNION ALL
+  SELECT 'ids_only', doc_id, NULL::VARCHAR, NULL::BIGINT
+  FROM (SELECT doc_id FROM documents WHERE lang = 'de'
+        ORDER BY doc_id LIMIT 25)
+) ORDER BY variant, doc_id
 """,
 )
 def api_skip_keys(spark, sf_dir):
-    """PostProcessing skip family through the facade (P10 variants;
-    KBaseSearchEngine.spec:133-154 skip_keys/skip_data,
-    SearchMethods.java:179-194): skip_data drops the payload column,
-    select_keys whitelists extracted keys — asserted gone before the
-    final projection."""
+    """PostProcessing P10 family through the facade, compound
+    (KBaseSearchEngine.spec:133-154 skip_keys/skip_data/ids_only,
+    SearchMethods.java:179-194): variant 'skip' = skip_data +
+    select_keys (payload and non-whitelisted keys asserted gone);
+    variant 'ids_only' = _source:[guid] projection under the DEFAULT
+    non-relevance sort (O2: doc_id asc when no sort given — r2
+    api_ids_only folded in)."""
     from .search import MatchFilter, Pagination, PostProcessing
 
     index = get_index(spark, sf_dir)
@@ -875,7 +997,23 @@ def api_skip_keys(spark, sf_dir):
     )
     assert "text" not in out.columns, "skip_data must drop the payload"
     assert "source" not in out.columns, "select_keys must drop other keys"
-    return out.select("doc_id", "lang", "n_chars")
+    skip = out.select(
+        F.lit("skip").alias("variant"), "doc_id", "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    ids = search_objects_facade(
+        index,
+        MatchFilter(term_eq={"lang": "de"}),
+        pagination=Pagination(0, 25),
+        post=PostProcessing(ids_only=True),
+    )
+    assert ids.columns == ["doc_id"], "ids_only must keep ONLY doc_id"
+    ids = ids.select(
+        F.lit("ids_only").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
+    return skip.unionByName(ids).orderBy("variant", "doc_id")
 
 
 @q(
@@ -1224,35 +1362,40 @@ SELECT id, ({bit_sum}) AS simhash FROM hx GROUP BY id {tail}
 """
 
 
-@q("dedup_simhash", _simhash_oracle())
-def dedup_simhash_q(spark, sf_dir):
-    """SimHash signatures (52-bit, tf-weighted) — near-dup fingerprint;
-    pure groupBy aggregation with built-in bit ops."""
-    return (
-        dedup.simhash64(_docs(spark, sf_dir), "doc_id", "text")
-        .orderBy("id")
-        .limit(100)
-    )
-
-
 @q(
-    "dedup_simhash_pairs",
+    "dedup_simhash",
     f"""
 WITH sh AS ({_simhash_oracle(tail="")})
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sh a JOIN sh b ON a.id < b.id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY id_a, id_b
+SELECT * FROM (
+  SELECT 'sig' AS variant, id AS x, simhash AS y, NULL::BIGINT AS z
+  FROM sh WHERE id < 100
+  UNION ALL
+  SELECT 'pair', a.id, b.id,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+) ORDER BY variant, x, y
 """,
 )
-def dedup_simhash_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs via pigeonhole chunk join + hamming verify.
-    The oracle is the exhaustive O(n²) self-join (fine in DuckDB at sf0.01);
-    the engine's chunk join is set-equal by the pigeonhole principle."""
-    return dedup.simhash_near_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
-    ).orderBy("id_a", "id_b")
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash compound (the r3 dedup_simhash_pairs query folded in):
+    variant 'sig' = 52-bit tf-weighted signatures (pure groupBy bit-agg);
+    variant 'pair' = near-dup pairs via the Manku-style pigeonhole chunk
+    join + hamming verify. The pair oracle is the exhaustive O(n²)
+    self-join (fine in DuckDB at sf0.01); the engine's chunk join is
+    set-equal by the pigeonhole principle."""
+    d = _docs(spark, sf_dir)
+    sigs = dedup.simhash64(d, "doc_id", "text").where(F.col("id") < 100)
+    sig_rows = sigs.select(
+        F.lit("sig").alias("variant"), F.col("id").alias("x"),
+        F.col("simhash").alias("y"), F.lit(None).cast("bigint").alias("z"),
+    )
+    pairs = dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("variant"), F.col("id_a").alias("x"),
+        F.col("id_b").alias("y"), F.col("hamming").cast("bigint").alias("z"),
+    )
+    return sig_rows.unionByName(pair_rows).orderBy("variant", "x", "y")
 
 
 def _emb_near_oracle(dim: int = 64, n_planes: int = 12, seed: int = 42,
@@ -1397,28 +1540,14 @@ def ann_lsh_topk_q(spark, sf_dir):
 @q(
     "text_token_counts",
     """
-SELECT sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
-       x -> x <> '')))::BIGINT AS total_ws,
-       sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-       x -> x <> '')))::BIGINT AS total_word,
-       count(*) AS n_docs
-FROM documents
-""",
-)
-def text_token_counts_q(spark, sf_dir):
-    """Token counting (whitespace + word-regex) aggregated corpus-wide."""
-    tc = textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
-    return tc.agg(
-        F.sum("n_tokens_ws").cast("bigint").alias("total_ws"),
-        F.sum("n_tokens_word").cast("bigint").alias("total_word"),
-        F.count("*").alias("n_docs"),
-    )
-
-
-@q(
-    "text_quality",
-    """
-WITH f AS (
+WITH tc AS (
+  SELECT doc_id AS id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens_ws,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> ''))::BIGINT AS n_tokens_word
+  FROM documents),
+f AS (
   SELECT doc_id AS id,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
@@ -1433,24 +1562,42 @@ WITH f AS (
          len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
              x -> x <> '')) AS n_tokens
   FROM documents)
-SELECT id, n_chars, round(alpha_ratio, 6) AS alpha_ratio,
+SELECT f.id, tc.n_tokens_ws, tc.n_tokens_word, f.n_chars,
+       round(alpha_ratio, 6) AS alpha_ratio,
        round(punct_ratio, 6) AS punct_ratio,
        round(stopword_ratio, 6) AS stopword_ratio,
        n_tokens::BIGINT AS n_tokens,
        round(0.5 * alpha_ratio + 0.3 * least(stopword_ratio * 3, 1.0)
              + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality
-FROM f ORDER BY id LIMIT 100
+FROM f JOIN tc USING (id) ORDER BY id LIMIT 100
 """,
 )
-def text_quality_q(spark, sf_dir):
-    """Quality scoring: length/alpha/punct/stopword features + fixed
-    linear blend — all JVM built-in expressions."""
-    out = textstats.quality_scores(_docs(spark, sf_dir), "doc_id", "text")
-    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint")) \
-              .orderBy("id").limit(100)
+def text_token_counts_q(spark, sf_dir):
+    """Token counting (whitespace + word-regex) AND quality scoring
+    (length/alpha/punct/stopword features + fixed linear blend) in one
+    per-doc frame — all JVM built-in expressions, joined on id (the r3
+    text_quality query folded in to keep the driver's 50-query window
+    covering every operator)."""
+    d = _docs(spark, sf_dir)
+    tc = textstats.token_counts(d, "doc_id", "text").select(
+        "id",
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        F.col("n_tokens_word").cast("bigint").alias("n_tokens_word"),
+    )
+    qs = textstats.quality_scores(d, "doc_id", "text").withColumn(
+        "n_tokens", F.col("n_tokens").cast("bigint")
+    )
+    return (
+        qs.join(tc, "id")
+        .select("id", "n_tokens_ws", "n_tokens_word", "n_chars",
+                "alpha_ratio", "punct_ratio", "stopword_ratio",
+                "n_tokens", "quality")
+        .orderBy("id")
+        .limit(100)
+    )
 
 
-def _langid_oracle() -> str:
+def _langid_fingerprint_oracle() -> str:
     from ..operators.textstats import LANG_PROFILES
 
     hit_cols = []
@@ -1466,42 +1613,30 @@ def _langid_oracle() -> str:
     for lg in reversed(langs):
         pred = f"CASE WHEN best > 0 AND hits_{lg} = best THEN '{lg}' ELSE {pred} END"
     return f"""
-WITH h AS (SELECT doc_id AS id, {', '.join(hit_cols)} FROM documents),
-b AS (SELECT id, {best} AS best, * FROM h)
-SELECT ({pred}) AS pred_lang, count(*) AS cnt
-FROM b GROUP BY 1 ORDER BY 1
+WITH h AS (SELECT doc_id AS id, text, {', '.join(hit_cols)} FROM documents),
+b AS (SELECT id, text, {best} AS best, * EXCLUDE (id, text) FROM h),
+fp AS (
+  SELECT doc_id AS id,
+         list_min(list_transform(
+           generate_series(1, greatest(length(text) - 7, 1)),
+           i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 13))::BIGINT
+         )) AS fingerprint
+  FROM documents)
+SELECT b.id, ({pred}) AS pred_lang, fp.fingerprint
+FROM b JOIN fp USING (id) ORDER BY id LIMIT 100
 """
 
 
-@q("text_langid", _langid_oracle())
+@q("text_langid", _langid_fingerprint_oracle())
 def text_langid_q(spark, sf_dir):
-    """Language-ID (stopword-profile argmax heuristic), aggregated into a
-    distribution (pred_lang, count)."""
-    out = textstats.lang_id(_docs(spark, sf_dir), "doc_id", "text")
-    return out.groupBy("pred_lang").agg(F.count("*").alias("cnt")).orderBy(
-        "pred_lang"
-    )
-
-
-@q(
-    "text_fingerprint",
-    """
-SELECT doc_id AS id,
-       list_min(list_transform(
-         generate_series(1, greatest(length(text) - 7, 1)),
-         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 13))::BIGINT
-       )) AS fingerprint
-FROM documents ORDER BY id LIMIT 100
-""",
-)
-def text_fingerprint_q(spark, sf_dir):
-    """Document fingerprinting: min md5-derived hash over all char 8-grams
-    (winnowing-style rolling signature, robust to local edits)."""
-    return (
-        textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text", gram=8)
-        .orderBy("id")
-        .limit(100)
-    )
+    """Language-ID (stopword-profile argmax heuristic) AND document
+    fingerprinting (min md5-derived hash over all char 8-grams —
+    winnowing-style rolling signature, robust to local edits) per doc,
+    joined on id (the r3 text_fingerprint query folded in)."""
+    d = _docs(spark, sf_dir)
+    lid = textstats.lang_id(d, "doc_id", "text").select("id", "pred_lang")
+    fp = textstats.fingerprints(d, "doc_id", "text", gram=8)
+    return lid.join(fp, "id").orderBy("id").limit(100)
 
 
 # =====================================================================
@@ -1634,36 +1769,9 @@ def xf_spec_yaml(spark, sf_dir):
     )
 
 
-@q(
-    "api_search_page",
-    """
-SELECT doc_id, lang, n_chars FROM documents
-WHERE lang IN ('en','fr') AND n_chars BETWEEN 100 AND 500
-ORDER BY n_chars DESC, doc_id ASC LIMIT 15 OFFSET 10
-""",
-)
-def api_search_page(spark, sf_dir):
-    """The search_objects facade end-to-end (MatchFilter terms+range →
-    sort → pagination → projection), driven as a driver query."""
-    from .search import MatchFilter, Pagination, SortingRule, search_objects
-
-    index = get_index(spark, sf_dir)
-    mf = MatchFilter(
-        term_in={"lang": ["en", "fr"]}, ranges={"n_chars": (100, 500)}
-    )
-    out = search_objects(
-        index,
-        mf,
-        sorting=[SortingRule("n_chars", ascending=False)],
-        pagination=Pagination(10, 15),
-    )
-    return out.select("doc_id", "lang", "n_chars")
-
-
-def _bm25_page_oracle(query: str, start: int, count: int) -> str:
-    terms = sorted(set(tokenize_py(query)))
-    tlist = ",".join(f"'{t}'" for t in terms)
-    return f"""
+def _compound_page_oracle() -> str:
+    """kv-sorted page UNION relevance page 2 ('spark join', ranks 11-20)."""
+    return """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
   FROM documents),
@@ -1672,7 +1780,7 @@ st AS (SELECT (SELECT count(*) FROM documents) AS n,
               (SELECT sum(dl) FROM dl)::DOUBLE
                 / (SELECT count(*) FROM documents) AS avgdl),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+       WHERE term IN ('join','spark') GROUP BY doc_id, term),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
@@ -1685,154 +1793,152 @@ scored AS (
 ranked AS (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scored WHERE nt = {len(terms)})
-SELECT doc_id, rank, round(score, 6) AS score FROM ranked
-WHERE rank > {start} AND rank <= {start + count}
-ORDER BY rank
+  FROM scored WHERE nt = 2),
+kv AS (SELECT doc_id, lang, n_chars FROM documents
+       WHERE lang IN ('en','fr') AND n_chars BETWEEN 100 AND 500
+       ORDER BY n_chars DESC, doc_id ASC LIMIT 15 OFFSET 10)
+SELECT * FROM (
+  SELECT 'kv_page' AS variant, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         NULL::BIGINT AS rank, NULL::DOUBLE AS score FROM kv
+  UNION ALL
+  SELECT 'rel_page2', doc_id, NULL::VARCHAR, NULL::BIGINT, rank,
+         round(score, 6) FROM ranked WHERE rank > 10 AND rank <= 20
+) ORDER BY variant, doc_id
 """
 
 
-@q("api_relevance_page2", _bm25_page_oracle("spark join", 10, 10))
-def api_relevance_page2(spark, sf_dir):
-    """Relevance-sorted pagination through the search facade (O3+O4:
-    from/size over BM25 ranking — the reference's search_objects with
-    explicit relevance sorting)."""
+@q("api_search_page", _compound_page_oracle())
+def api_search_page(spark, sf_dir):
+    """The search_objects facade end-to-end, BOTH pagination modes in one
+    compound result (keeps the driver's 50-query window covering every
+    operator): variant 'kv_page' = MatchFilter terms+range → key sort →
+    from/size (O1/O3); variant 'rel_page2' = relevance-sorted second page
+    over BM25 (O3+O4 — the reference's search_objects with explicit
+    relevance sorting, r2 api_relevance_page2 folded in)."""
     from .search import MatchFilter, Pagination, SortingRule, search_objects
 
     index = get_index(spark, sf_dir)
-    out = search_objects(
+    kv = search_objects(
+        index,
+        MatchFilter(term_in={"lang": ["en", "fr"]},
+                    ranges={"n_chars": (100, 500)}),
+        sorting=[SortingRule("n_chars", ascending=False)],
+        pagination=Pagination(10, 15),
+    ).select(
+        F.lit("kv_page").alias("variant"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.lit(None).cast("bigint").alias("rank"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    rel = search_objects(
         index,
         MatchFilter(full_text="spark join"),
         sorting=[SortingRule("relevance")],
         pagination=Pagination(10, 10),
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return out.select(
+    rel = rel.select(
+        F.lit("rel_page2").alias("variant"),
         "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_chars"),
         (F.row_number().over(w) + 10).cast("bigint").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+    return kv.unionByName(rel).orderBy("variant", "doc_id")
 
 
 @q(
-    "rel_sub_exclusion",
+    "ft_sub_search",
     """
-WITH p AS (SELECT lang, count(*) AS n_parent FROM documents
-           WHERE doc_id < 50 GROUP BY lang),
-s AS (SELECT lang,
-             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))
-                  AS BIGINT) AS n_sub
-      FROM documents WHERE doc_id < 50 GROUP BY lang)
-SELECT p.lang, p.n_parent, coalesce(s.n_sub, 0) AS n_sub
-FROM p LEFT JOIN s USING (lang) ORDER BY p.lang
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents WHERE doc_id < 60),
+children AS (
+  SELECT doc_id, lang, unnest(ts) AS sub_value,
+         (CAST(doc_id AS VARCHAR) || '/' || lang) || ':' ||
+           CAST(generate_subscripts(ts, 1) - 1 AS VARCHAR) AS sub_id
+  FROM toks),
+st AS (SELECT count(*) AS n FROM children),
+m AS (SELECT sub_id FROM children WHERE sub_value = 'dup'),
+dfc AS (SELECT count(*) AS df FROM m),
+par AS (
+  SELECT CAST(count(*) AS BIGINT) AS np FROM (
+    SELECT doc_id FROM (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+             '[a-z0-9_]+'))) AS term
+      FROM documents WHERE doc_id < 60) WHERE term = 'dup' GROUP BY doc_id))
+SELECT m.sub_id,
+       round(ln(1 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5)) / 2.2, 6)
+         AS score,
+       par.np AS n_parent_match
+FROM m CROSS JOIN st CROSS JOIN dfc CROSS JOIN par
+ORDER BY sub_id
 """,
 )
-def rel_sub_exclusion(spark, sf_dir):
-    """Sub-index exclusion (U2): parent docs and exploded sub-object child
-    docs form one multi-index union tagged is_sub (the reference's `*_sub`
-    index-name convention, ElasticIndexingStorage.java:62,1544-1546 —
-    default searches exclude `-*_sub`). The result proves both populations
-    ride the union and that the default path counts only parents."""
-    from ..functions.transforms import explode_subobjects
+def ft_sub_search(spark, sf_dir):
+    """Physical `*_sub` child index from a spec's sub-object-path (U2 done
+    for real + SubObjectExtractor/GenomeFeature analog): each token of a
+    parent doc becomes a CHILD document (composite GUID
+    `<doc_id>/<lang>:<ordinal>`, KeywordParser.java:273-293) indexed into
+    <index_dir>/sub/ with its OWN postings and BM25 statistics
+    (`_sub` naming ElasticIndexingStorage.java:297-302). The query
+    matches child docs THROUGH the child postings via the facade's
+    include_subobjects switch (children all have dl=1, so score =
+    idf_child/2.2 — reproduced exactly by the oracle), while
+    n_parent_match counts the DEFAULT path's hits (parent postings only:
+    the `-*_sub` exclusion, :62,1544-1546, is structural — asserted by
+    the absence of child rows in the primary docs)."""
+    from ..functions.typespec import parse_spec_file
+    from ..operators.indexer import build_from_spec
+    from .search import MatchFilter, Pagination, search_objects
 
-    d = (
-        _docs(spark, sf_dir)
-        .where(F.col("doc_id") < 50)
-        .withColumn(
-            "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+    key = "subspec:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), f"kbse_subspec_v{FORMAT_VERSION}_{tag}"
         )
-    )
-    subs = explode_subobjects(d, ["doc_id", "lang"], "toks").select(
-        "doc_id", "lang", "is_sub"
-    )
-    parents = d.select("doc_id", "lang", F.lit(False).alias("is_sub"))
-    union = parents.unionByName(subs)
+        if not os.path.exists(os.path.join(idx_dir, "sub", "stats.json")):
+            spec = parse_spec_file(
+                os.path.join(os.path.dirname(__file__), "..", "specs",
+                             "documents_sub.yaml")
+            )
+            objects = (
+                _docs(spark, sf_dir)
+                .where(F.col("doc_id") < 60)
+                .select(
+                    F.col("doc_id").alias("gid"), "lang", "text",
+                    F.expr(
+                        "regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"
+                    ).alias("toks"),
+                )
+            )
+            build_from_spec(
+                spark, idx_dir, objects, spec, key_cols=["gid", "lang"],
+                num_segments=4,
+            )
+        _INDEX_CACHE[key] = idx_dir
+    index = InvertedIndex(spark, _INDEX_CACHE[key])
+    assert index.has_sub_index()
+    # structural exclusion: the primary docs table has NO child rows
+    assert "sub_id" not in index.docs.columns
+
+    # child search through the facade switch — all matching children
+    # (k=None via a huge page; every child doc has dl=1)
+    children = search_objects(
+        index, MatchFilter(full_text="dup"), include_subobjects=True,
+        pagination=Pagination(0, 1_000_000),
+    ).select("sub_id", F.round("score", 6).alias("score"))
+
+    # default path: parent postings only
+    n_parent = topk(index, "dup", k=None, mode="and", hydrate=False).count()
     return (
-        union.groupBy("lang")
-        .agg(
-            F.sum(F.when(~F.col("is_sub"), 1).otherwise(0)).alias("n_parent"),
-            F.sum(F.when(F.col("is_sub"), 1).otherwise(0)).alias("n_sub"),
-        )
-        .orderBy("lang")
+        children.withColumn("n_parent_match", F.lit(int(n_parent)))
+        .orderBy("sub_id")
     )
-
-
-@q(
-    "api_search_types",
-    """
-WITH m AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
-           '[a-z0-9_]+'))) AS term FROM documents) t
-  WHERE term = 'dup'
-)
-SELECT d.lang AS type, count(*) AS "count" FROM documents d
-JOIN m USING (doc_id) GROUP BY d.lang ORDER BY d.lang
-""",
-)
-def api_search_types(spark, sf_dir):
-    """search_types through the facade itself (G1 via SearchMethods
-    surface) — type histogram of a full-text match, size 0."""
-    from .search import MatchFilter, search_types
-
-    index = get_index(spark, sf_dir)
-    return search_types(index, MatchFilter(full_text="dup")).orderBy("type")
-
-
-@q(
-    "api_get_objects",
-    """
-SELECT doc_id, lang, n_chars, sha256(text) AS sha256 FROM documents
-WHERE doc_id IN (5, 10, 99, 250) ORDER BY doc_id
-""",
-)
-def api_get_objects(spark, sf_dir):
-    """get_objects through the facade (J2): GUID-list hydration with the
-    sha256 content invariant carried on the docs table."""
-    from .search import get_objects
-
-    index = get_index(spark, sf_dir)
-    return (
-        get_objects(index, [5, 10, 99, 250])
-        .select("doc_id", "lang", "n_chars", "sha256")
-        .orderBy("doc_id")
-    )
-
-
-@q(
-    "api_ids_only",
-    """
-SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id LIMIT 25
-""",
-)
-def api_ids_only(spark, sf_dir):
-    """ids-only projection (P10 _source: [guid]) + default non-relevance
-    sort (O2: doc_id asc when no sort given) through the facade."""
-    from .search import MatchFilter, Pagination, PostProcessing, search_objects
-
-    index = get_index(spark, sf_dir)
-    return search_objects(
-        index,
-        MatchFilter(term_eq={"lang": "de"}),
-        pagination=Pagination(0, 25),
-        post=PostProcessing(ids_only=True),
-    )
-
-
-@q("api_match_field", _bm25_oracle("src1", 5, "and", col="source"))
-def api_match_field(spark, sf_dir):
-    """Field-scoped match THROUGH the facade (P5 + relevance sort +
-    pagination): MatchFilter(field='source')."""
-    from .search import MatchFilter, Pagination, SortingRule, search_objects
-
-    index = get_index(spark, sf_dir)
-    out = search_objects(
-        index,
-        MatchFilter(full_text="src1", field="source"),
-        sorting=[SortingRule("relevance")],
-        pagination=Pagination(0, 5),
-    )
-    return _ranked(out.select("doc_id", "score"))
 
 
 @q(

@@ -57,7 +57,14 @@ class AccessFilter:
       admin          -> no access constraint at all (A4,
                         ElasticIndexingStorage.java:1423-1440)
       with_public    -> is_public=true qualifies (A1)
-      user_groups    -> access_group ∈ groups qualifies (A2/A3)
+      user_groups    -> doc shared into ANY of the caller's groups
+                        qualifies (A2/A3). The reference stores per-doc
+                        group ARRAYS (lastin[]/groups[],
+                        ElasticIndexingStorage.java:666-763) so one doc
+                        can be shared into several groups — matched here
+                        with arrays_overlap on `access_groups`
+                        (array<int>); the legacy single-int
+                        `access_group` column is honored too.
       no groups + no public + not admin -> ZERO hits without touching the
                         index (A5 short-circuit, :1506-1511)
     """
@@ -69,14 +76,25 @@ class AccessFilter:
         """A5: nothing could possibly match — skip the query entirely."""
         return not (self.admin or self.user_groups or self.with_public)
 
-    def predicate(self) -> Column | None:
+    def predicate(self, columns: list | None = None) -> Column | None:
+        """columns: the docs table's columns — selects which access
+        metadata exists (array vs legacy scalar grants). None = assume
+        the legacy scalar layout (back-compat)."""
         if self.admin:
             return None  # unconstrained
         preds = []
         if self.with_public:
             preds.append(F.col("is_public") == True)  # noqa: E712
         if self.user_groups:
-            preds.append(F.col("access_group").isin([int(g) for g in self.user_groups]))
+            groups = [int(g) for g in self.user_groups]
+            have = set(columns) if columns is not None else {"access_group"}
+            if "access_groups" in have:
+                garr = F.array(*[F.lit(g) for g in groups])
+                overlap = F.arrays_overlap(F.col("access_groups"), garr)
+                # null array (never shared) must read as no-overlap
+                preds.append(F.coalesce(overlap, F.lit(False)))
+            if "access_group" in have:
+                preds.append(F.col("access_group").isin(groups))
         if not preds:
             return F.lit(False)  # A5: provably empty
         out = preds[0]
@@ -181,8 +199,17 @@ def search_objects(
     pagination: Pagination | None = None,
     post: PostProcessing | None = None,
     access: AccessFilter | None = None,
+    include_subobjects: bool = False,
 ) -> DataFrame:
-    """The main read path (SearchMethods.searchObjects → queryHits)."""
+    """The main read path (SearchMethods.searchObjects → queryHits).
+
+    include_subobjects: search the spec-built `*_sub` CHILD index (its
+    own postings/stats/docs — hits are child documents keyed by sub_id)
+    instead of the parent index. The default path never touches child
+    postings — the reference's `-*_sub` index-pattern exclusion
+    (ElasticIndexingStorage.java:62,1544-1546) is structural here."""
+    if include_subobjects:
+        index = index.sub_index()
     pagination = pagination or Pagination()
     post = post or PostProcessing()
     if access is not None and access.is_empty():
@@ -191,7 +218,7 @@ def search_objects(
         return empty.select("doc_id") if post.ids_only else empty
     pred = _predicate(match)
     if access is not None:
-        ap = access.predicate()
+        ap = access.predicate(columns=index.docs.columns)
         if ap is not None:
             pred = ap if pred is None else (pred & ap)
 
@@ -242,11 +269,12 @@ def search_objects(
         from ..functions.tokenize import tokenize_py
 
         terms = sorted(set(tokenize_py(match.full_text)))
-        hl = F.col("text") if "text" in page.columns else F.col("content")
-        pat = r"(?i)\b(" + "|".join(terms) + r")\b"
-        page = page.withColumn(
-            "highlight", F.regexp_replace(hl, pat, "<em>$1</em>")
-        )
+        if terms:  # a term-less pattern '\b()\b' would mark EVERY boundary
+            hl = F.col("text") if "text" in page.columns else F.col("content")
+            pat = r"(?i)\b(" + "|".join(terms) + r")\b"
+            page = page.withColumn(
+                "highlight", F.regexp_replace(hl, pat, "<em>$1</em>")
+            )
     if post.skip_keys or post.select_keys is not None:
         keep_keys = set(post.select_keys or ())
         drop = [
@@ -260,6 +288,34 @@ def search_objects(
         drop = [c for c in _DATA_COLS if c in page.columns]
         page = page.drop(*drop)
     return page
+
+
+def count_objects(
+    index: InvertedIndex,
+    match: MatchFilter,
+    access: AccessFilter | None = None,
+) -> int:
+    """hits.total (G3): the size of the FULL match set, independent of
+    pagination — the reference returns it with every page
+    (ElasticIndexingStorage.java:1557 total from ES hits.total)."""
+    if access is not None and access.is_empty():
+        return 0
+    pred = _predicate(match)
+    if access is not None:
+        ap = access.predicate(columns=index.docs.columns)
+        if ap is not None:
+            pred = ap if pred is None else (pred & ap)
+    if match.full_text:
+        scoring = index.field_index(match.field) if match.field else index
+        scored = topk(
+            scoring, match.full_text, k=None, mode=match.full_text_mode,
+            doc_filter=pred, hydrate=False,
+        )
+        return scored.count()
+    docs = index.docs
+    if pred is not None:
+        docs = docs.where(pred)
+    return docs.count()
 
 
 def search_types(
@@ -277,7 +333,7 @@ def search_types(
         )
     pred = _predicate(match)
     if access is not None:
-        ap = access.predicate()
+        ap = access.predicate(columns=index.docs.columns)
         if ap is not None:
             pred = ap if pred is None else (pred & ap)
     if match.full_text:

@@ -52,6 +52,16 @@ def index_ddl(db: str, name: str) -> list[str]:
     Run via spark.sql(...) on a cluster with the Iceberg runtime; in this
     sandbox (no Iceberg jars) the same layout is parquet directories.
     """
+    # the postings column list is DERIVED from the writer's POSTING_SCHEMA
+    # so the DDL can never drift from what build/merge actually emit
+    # (the v4 layout added block_doc_off/tf_off/dl_off byte offsets that
+    # wand.py's lazy per-block decode requires)
+    from ..operators.indexer import POSTING_SCHEMA
+
+    posting_cols = ",\n  ".join(
+        f"{c.strip().split(' ', 1)[0]} {c.strip().split(' ', 1)[1].upper()}"
+        for c in POSTING_SCHEMA.split(", ")
+    )
     return [
         f"""CREATE TABLE IF NOT EXISTS {db}.{name}_docs (
   doc_id BIGINT, repo STRING, path STRING, commit STRING, lang STRING,
@@ -59,10 +69,7 @@ def index_ddl(db: str, name: str) -> list[str]:
 USING iceberg PARTITIONED BY (segment)
 TBLPROPERTIES ('write.distribution-mode' = 'none')""",
         f"""CREATE TABLE IF NOT EXISTS {db}.{name}_postings (
-  segment INT, term_hash BIGINT, df INT,
-  doc_ids BINARY, tfs BINARY, dls BINARY,
-  block_last ARRAY<BIGINT>, block_max_tf ARRAY<BIGINT>,
-  block_min_dl ARRAY<BIGINT>)
+  {posting_cols})
 USING iceberg PARTITIONED BY (segment)
 TBLPROPERTIES ('write.distribution-mode' = 'none',
                'sort-order' = 'term_hash ASC')""",

@@ -95,3 +95,33 @@ def test_ddl_matches_v4_layout():
     assert "PARTITIONED BY (segment)" in stmts[1]
     assert "PARTITIONED BY (batch)" in stmts[2]
     assert all("CREATE TABLE IF NOT EXISTS" in s for s in stmts)
+    # the postings DDL must carry EVERY writer column (derived from
+    # POSTING_SCHEMA so it can't drift): v4's lazy WAND decode needs the
+    # per-block byte offsets
+    from kbasesearchengine_spark.operators.indexer import POSTING_SCHEMA
+
+    for col_def in POSTING_SCHEMA.split(", "):
+        name, typ = col_def.strip().split(" ", 1)
+        assert f"{name} {typ.upper()}" in stmts[1], col_def
+    for off in ("block_doc_off", "block_tf_off", "block_dl_off"):
+        assert f"{off} ARRAY<BIGINT>" in stmts[1]
+
+
+def test_reader_rejects_old_format_version(spark, tmp_path):
+    """Opening a pre-v4 index must fail FAST with a clear rebuild message,
+    not a KeyError deep inside query execution."""
+    import json
+
+    from kbasesearchengine_spark.operators.topk import InvertedIndex
+
+    old = tmp_path / "oldidx"
+    old.mkdir()
+    (old / "stats.json").write_text(json.dumps({
+        "n_docs": 10, "avgdl": 5.0, "format_version": 3,
+    }))
+    with pytest.raises(ValueError, match="format_version.*Rebuild"):
+        InvertedIndex(spark, str(old))
+    # missing version field (v1/v2 indexes) also refused
+    (old / "stats.json").write_text(json.dumps({"n_docs": 10, "avgdl": 5.0}))
+    with pytest.raises(ValueError, match="format_version"):
+        InvertedIndex(spark, str(old))

@@ -86,3 +86,81 @@ def test_publish_and_share_flags(spark, tmp_path):
                doc_filter=F.col("is_public"), hydrate=False).collect()
     pub_ids = {r["doc_id"] for r in index.docs.where(F.col("is_public")).select("doc_id").collect()}
     assert all(r["doc_id"] in pub_ids for r in got)
+
+
+def test_multigroup_share_unshare(spark, tmp_path):
+    """M2/M3 multi-group arrays (ElasticIndexingStorage.java:666-763;
+    testSharing :726-773): one doc shared into SEVERAL groups stays
+    visible to each; unsharing one group keeps the others."""
+    from kbasesearchengine_spark.operators.mutate import (
+        share_with_group,
+        unshare_group,
+    )
+    from kbasesearchengine_spark.plans.search import (
+        AccessFilter,
+        MatchFilter,
+        Pagination,
+        search_objects,
+    )
+
+    idx_dir = str(tmp_path / "mgidx")
+    corpus = generate_corpus(spark, 200, parallelism=4)
+    IndexBuilder(spark, idx_dir, num_segments=4, segments_per_commit=4).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    share_with_group(spark, idx_dir, F.col("lang") == "go", group=7)
+    share_with_group(spark, idx_dir, F.col("lang") == "go", group=9)
+    share_with_group(spark, idx_dir, F.col("lang") == "python", group=9)
+    share_with_group(spark, idx_dir, F.col("lang") == "java", group=5)
+    unshare_group(spark, idx_dir, F.col("lang") == "java", group=5)
+
+    index = InvertedIndex(spark, idx_dir)
+    n_go = index.docs.where(F.col("lang") == "go").count()
+    n_py = index.docs.where(F.col("lang") == "python").count()
+
+    def visible(groups):
+        return search_objects(
+            index, MatchFilter(),
+            access=AccessFilter(user_groups=groups),
+            pagination=Pagination(0, 10_000),
+        ).count()
+
+    assert visible([7]) == n_go            # go docs carry BOTH 7 and 9
+    assert visible([9]) == n_go + n_py
+    assert visible([5]) == 0               # unshared: 5 grants revoked
+    assert visible([7, 5]) == n_go         # union over caller's groups
+    # share is idempotent (array_union)
+    share_with_group(spark, idx_dir, F.col("lang") == "go", group=7)
+    index.refresh()
+    assert visible([7]) == n_go
+
+
+def test_update_marker_name_is_process_stable(spark, tmp_path):
+    """The update-by-query lineage marker name must be identical across
+    processes (idempotence protocol) — md5 of the field names, NOT
+    Python's per-process-salted hash()."""
+    import subprocess
+    import sys
+
+    idx_dir = str(tmp_path / "markidx")
+    corpus = generate_corpus(spark, 100, parallelism=2)
+    IndexBuilder(spark, idx_dir, num_segments=2, segments_per_commit=2).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    update_docs_fields(spark, idx_dir, F.col("doc_id") < 10, {"flag": True})
+    markers = sorted(
+        f for f in os.listdir(os.path.join(idx_dir, "_lineage"))
+        if f.startswith("update-")
+    )
+    assert len(markers) == 1
+    # recompute the expected tag in a FRESH interpreter (different hash salt)
+    code = (
+        "import hashlib;"
+        "print(hashlib.md5(','.join(sorted(['flag'])).encode())"
+        ".hexdigest()[:8])"
+    )
+    tag = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={"PYTHONHASHSEED": "12345"},
+    ).stdout.strip()
+    assert markers[0].endswith(f"-{tag}.json")

@@ -114,3 +114,39 @@ def test_ann_bucketed_partition_pruning(spark, tmp_path):
     ]
     assert got == exp
     assert got[0][0] == 0  # the query vector itself is its own top-1
+
+
+def test_filtered_topk_broadcasts_candidates_not_docs(index):
+    """Conjunctive filtered BM25 must ship the (df-bounded) CANDIDATE set
+    to the predicate-pruned docs scan — NOT the full filtered doc list
+    into a per-segment cogroup (at 10^12 docs a lang='en'-style predicate
+    passes ~10^11 rows; candidates are bounded by the rarest term's df).
+    The stopword fallback (candidate estimate above FILTER_CANDIDATE_MAX)
+    keeps the cogroup."""
+    from kbasesearchengine_spark.operators import topk as topk_mod
+    from kbasesearchengine_spark.operators.topk import topk
+
+    df = topk(index, "license import", k=10, mode="and",
+              doc_filter=F.col("lang") == "python", hydrate=False)
+    plan = _plan(df)
+    full = _full_plan(df)
+    # the candidate set is the broadcast side of a hash join
+    assert "BroadcastHashJoin" in plan
+    # no cogroup on the selective path
+    assert "FlatMapCoGroupsInPandas" not in plan
+    # the doc predicate reaches the parquet scan
+    pushed = full.split("PushedFilters:")
+    assert any("lang" in p.splitlines()[0] for p in pushed[1:])
+    # results identical to the cogroup fallback (force it via the bound)
+    rows_fast = [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+    orig = topk_mod.FILTER_CANDIDATE_MAX
+    topk_mod.FILTER_CANDIDATE_MAX = 0
+    try:
+        df_slow = topk(index, "license import", k=10, mode="and",
+                       doc_filter=F.col("lang") == "python", hydrate=False)
+        assert "FlatMapCoGroupsInPandas" in _plan(df_slow)
+        rows_slow = [(r["doc_id"], round(r["score"], 9))
+                     for r in df_slow.collect()]
+    finally:
+        topk_mod.FILTER_CANDIDATE_MAX = orig
+    assert rows_fast == rows_slow and len(rows_fast) > 0

@@ -71,3 +71,41 @@ def test_pathological_skew_build(spark, tmp_path):
     # a unique term co-occurring with the stopword still resolves exactly
     res2 = topk(index, "omnipresent unique_37", k=10, mode="and").collect()
     assert len(res2) == 1 and res2[0]["path"] == "p37.py"
+
+
+def test_minhash_mega_cluster_bounded(spark):
+    """A 500-way identical-doc cluster must NOT emit 500²/2 LSH pairs
+    (dedup.py bucket fan-out guards): the exact-dup prefilter collapses
+    the cluster to one representative, and the representative still pairs
+    with true near-dups. dedup_exact owns the identical-pair set."""
+    from kbasesearchengine_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(500)]
+    # two near-dups of the cluster text (one token changed) + unrelated
+    rows += [(1000, base.replace("lazy", "sleepy")),
+             (1001, base.replace("quick", "speedy")),
+             (2000, "completely different content with other words entirely")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = dedup.dedup_minhash_candidates(docs, "doc_id", "text").collect()
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    # bounded: the 500-cluster contributes ONE representative (min id 0),
+    # not 124,750 intra-cluster pairs
+    assert len(pairs) <= 10, f"fan-out not bounded: {len(pairs)} pairs"
+    assert 0 in ids_in_pairs           # representative survives
+    assert not ids_in_pairs & set(range(1, 500))  # dups collapsed
+    assert {1000, 1001} <= ids_in_pairs  # true near-dups still found
+    # the identical pairs come from the exact path
+    exact = dedup.dedup_exact(docs, "doc_id", "text")
+    assert exact.count() == 499
+    assert exact.agg(F.min("dup_of")).collect()[0][0] == 0
+
+    # the max_bucket backstop alone (prefilter off) also bounds the blast:
+    # with a cap the mega-bucket is dropped wholesale
+    capped = dedup.dedup_minhash_candidates(
+        docs, "doc_id", "text", max_bucket=50, exact_prefilter=False
+    ).collect()
+    intra = [r for r in capped
+             if r["id_a"] < 500 and r["id_b"] < 500]
+    assert not intra, "over-cap bucket must not emit intra-cluster pairs"

@@ -57,7 +57,12 @@ def test_search_objects_envelope_matches_facade(svc):
         "sorting_rules": [{"property": "relevance"}],
         "pagination": {"start": 0, "count": 5},
     })
-    assert out["total"] == 5
+    assert len(out["objects"]) == 5
+    # total = hits.total (spec :262,281): the FULL match-set size
+    from kbasesearchengine_spark.plans.search import count_objects
+
+    full = count_objects(svc.index, MatchFilter(full_text="license import"))
+    assert out["total"] == full >= 5
     direct = search_objects(
         svc.index, MatchFilter(full_text="license import"),
         sorting=[SortingRule("relevance")],
@@ -170,3 +175,31 @@ def test_http_transport_round_trip(svc):
         assert body["result"][0]["objects"][0]["guid"] == 5
     finally:
         server.shutdown()
+
+
+def test_total_is_match_set_size_not_page_size(svc):
+    """spec KBaseSearchEngine.spec:262,281: total = the number of FOUND
+    objects (ES hits.total, ElasticIndexingStorage.java:1557) — a
+    paginating client must see the match-set size, not the page size."""
+    # a filter matching many docs, page of 5
+    full = _call(svc, "search_objects", {
+        "match_filter": {}, "pagination": {"start": 0, "count": 10_000},
+    })
+    n_all = len(full["objects"])
+    assert n_all > 5
+    page = _call(svc, "search_objects", {
+        "match_filter": {}, "pagination": {"start": 0, "count": 5},
+    })
+    assert len(page["objects"]) == 5
+    assert page["total"] == n_all
+    # later pages report the same total
+    page2 = _call(svc, "search_objects", {
+        "match_filter": {}, "pagination": {"start": 5, "count": 5},
+    })
+    assert page2["total"] == n_all
+    # short first page: total == returned size without a second count job
+    one = _call(svc, "search_objects", {
+        "match_filter": {"full_text_in_all": "zzz_no_such_token_zzz"},
+        "pagination": {"start": 0, "count": 50},
+    })
+    assert one["total"] == len(one["objects"]) == 0

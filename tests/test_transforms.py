@@ -85,3 +85,77 @@ def test_not_indexed_exclusion():
         Rule("b", path="p", not_indexed=True),
     ]
     assert indexed_columns(rules) == ["a"]
+
+
+def test_lookup_transform_broadcast_enrichment(spark):
+    """T6 lookup.<target-key> (KeywordParser.java:309-324): a rule whose
+    transform is a cross-document lookup compiles to a broadcast left
+    join against the registered dimension; missing targets honor the
+    optional default (T7)."""
+    from pyspark.sql import functions as F
+
+    from kbasesearchengine_spark.functions.transforms import Rule, apply_rules
+
+    facts = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz")], "id int, ref string"
+    )
+    dim = spark.createDataFrame(
+        [("a", "alpha", 10), ("b", "beta", 20)], "k string, name string, w int"
+    )
+    out = apply_rules(
+        facts,
+        [
+            Rule("ref_name", path="ref", transform="lookup:dim.name",
+                 default="unknown"),
+            Rule("ref_w", path="ref", transform="lookup.dim.w"),
+            # T8: a derived rule can consume a looked-up key
+            Rule("w2", source_key="ref_w", expr="ref_w * 2",
+                 transform="integer"),
+        ],
+        lookups={"dim": (dim, "k")},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["ref_name"] == "alpha" and rows[1]["w2"] == 20
+    assert rows[2]["ref_name"] == "beta" and rows[2]["w2"] == 40
+    assert rows[3]["ref_name"] == "unknown" and rows[3]["ref_w"] is None
+    # the join must be broadcast (J6): no shuffle of the fact side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # unregistered dimension fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not registered"):
+        apply_rules(
+            facts, [Rule("x", path="ref", transform="lookup:nope.col")]
+        )
+
+
+def test_lookup_transform_from_yaml_spec(spark):
+    """A YAML spec can express cross-document enrichment (the reference's
+    lookup transform in ObjectTypeParsingRules)."""
+    from kbasesearchengine_spark.functions.transforms import apply_rules
+    from kbasesearchengine_spark.functions.typespec import parse_spec
+
+    spec = parse_spec(
+        """
+global-object-type: Fact
+storage-type: TEST
+storage-object-type: Test.Fact
+versions:
+  - indexing-rules:
+      - key-name: ref_name
+        path: ref
+        transform: lookup.dim.name
+      - key-name: body
+        path: body
+        full-text: true
+"""
+    )
+    rules = spec.rules()
+    assert rules[0].transform == "lookup.dim.name"
+    facts = spark.createDataFrame(
+        [(1, "a", "hello world")], "id int, ref string, body string"
+    )
+    dim = spark.createDataFrame([("a", "alpha")], "k string, name string")
+    out = apply_rules(facts, rules, lookups={"dim": (dim, "k")})
+    assert out.collect()[0]["ref_name"] == "alpha"

@@ -282,3 +282,68 @@ def test_version_physical_coexistence(spark, tmp_path):
     i1 = InvertedIndex(spark, os.path.join(base, "v1"))
     assert i1.stats["n_docs"] == 10
     assert topk(i1, "k", 5, "and", hydrate=False).count() == 5
+
+
+def test_sub_object_child_index(spark, tmp_path):
+    """sub-object-path in a spec builds a PHYSICAL `*_sub` child index
+    (GenomeFeature.yaml analog; `_sub` naming ElasticIndexingStorage.
+    java:297-302): child docs searchable through their OWN postings and
+    BM25 stats; the default path never sees them (`-*_sub` exclusion)."""
+    from pyspark.sql import functions as F
+
+    from kbasesearchengine_spark.operators.indexer import build_from_spec
+    from kbasesearchengine_spark.operators.topk import InvertedIndex, topk
+    from kbasesearchengine_spark.plans.search import (
+        MatchFilter,
+        Pagination,
+        search_objects,
+    )
+
+    spec = parse_spec(
+        """
+global-object-type: Doc
+storage-type: TEST
+storage-object-type: Test.Doc
+sub-object-path: toks
+sub-object-type: token
+versions:
+  - indexing-rules:
+      - key-name: body
+        path: body
+        full-text: true
+"""
+    )
+    assert spec.sub_object_path == "toks" and spec.sub_object_type == "token"
+    objects = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "epsilon")],
+        "gid bigint, body string",
+    ).withColumn(
+        "toks", F.expr("regexp_extract_all(lower(body), '[a-z0-9_]+', 0)")
+    )
+    idx_dir = str(tmp_path / "subidx")
+    stats = build_from_spec(
+        spark, idx_dir, objects, spec, key_cols=["gid"], num_segments=2
+    )
+    assert stats["sub_index"]["n_children"] == 6
+    assert stats["sub_index"]["sub_object_type"] == "token"
+
+    index = InvertedIndex(spark, idx_dir)
+    assert index.has_sub_index()
+    # default path: PARENT docs only (2 parents contain 'beta')
+    parents = topk(index, "beta", k=None, mode="and", hydrate=False)
+    assert parents.count() == 2
+    assert "sub_id" not in index.docs.columns
+
+    # child search: 2 child docs ARE 'beta', each with composite GUID and
+    # child-scoped BM25 (dl=1 for every child here)
+    hits = search_objects(
+        index, MatchFilter(full_text="beta"), include_subobjects=True,
+        pagination=Pagination(0, 100),
+    ).collect()
+    assert {r["sub_id"] for r in hits} == {"1:1", "2:0"}
+    n, df = 6, 2
+    import math
+
+    expected = round(math.log(1 + (n - df + 0.5) / (df + 0.5)) / 2.2, 9)
+    for r in hits:
+        assert round(r["score"], 9) == expected
