@@ -79,11 +79,17 @@ def _burn_mem(args) -> int:
 
 
 def _ceiling(fn, n: int, n4: int, dur: float, extra=()) -> float:
-    totals = {}
-    for procs in (n, n4):
-        with mp.Pool(procs) as p:
-            totals[procs] = sum(p.map(fn, [(dur, procs, *extra)] * procs))
-    return (totals[n4] / totals[n]) / (n4 / n)
+    # interleaved best-of-3 per level, same as the engine runs: one shot
+    # per level can land in a stolen window and report a nonsense ratio
+    # (observed: a single-shot DRAM ceiling of 2.4 when the 2-proc pass
+    # hit a bad minute)
+    best: dict[int, float] = {n: 0.0, n4: 0.0}
+    for _ in range(3):
+        for procs in (n, n4):
+            with mp.Pool(procs) as p:
+                tot = sum(p.map(fn, [(dur, procs, *extra)] * procs))
+            best[procs] = max(best[procs], tot)
+    return (best[n4] / best[n]) / (n4 / n)
 
 
 def cpu_ceiling(n: int, n4: int, dur: float = 10.0) -> float:
@@ -186,8 +192,18 @@ def run_worker(cores: int, corpus_pq: str, idx_dir: str) -> dict:
          str(cores), corpus_pq, idx_dir],
         capture_output=True, text=True, timeout=5400,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        # a worker can die in a bad host window (OOM-killed JVM etc.) —
+        # report and let the caller skip the sample instead of aborting
+        # the whole interleaved protocol
+        sys.stderr.write(
+            f"[bench_scaling] worker cores={cores} produced no result; "
+            f"rc={out.returncode}\nstderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-15:]) + "\n"
+        )
+        return None
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -217,14 +233,15 @@ generate_corpus(spark, {N_ROWS}, parallelism=32).write.mode('overwrite').parquet
     rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
     runs_n, runs_4 = [], []
     for r in range(rounds):
-        runs_n.append(
-            run_worker(LEVEL_N, corpus_pq, os.path.join(work, f"idx{LEVEL_N}_{r}"))
-        )
-        record_run(runs_n[-1], N_ROWS)
-        runs_4.append(
-            run_worker(LEVEL_4N, corpus_pq, os.path.join(work, f"idx{LEVEL_4N}_{r}"))
-        )
-        record_run(runs_4[-1], N_ROWS)
+        w = run_worker(LEVEL_N, corpus_pq, os.path.join(work, f"idx{LEVEL_N}_{r}"))
+        if w is not None:
+            runs_n.append(w)
+            record_run(w, N_ROWS)
+        w = run_worker(LEVEL_4N, corpus_pq, os.path.join(work, f"idx{LEVEL_4N}_{r}"))
+        if w is not None:
+            runs_4.append(w)
+            record_run(w, N_ROWS)
+    assert runs_n and runs_4, "no successful runs at one level"
     rn = max(runs_n, key=lambda d: d["docs_per_sec"])
     r4 = max(runs_4, key=lambda d: d["docs_per_sec"])
     # headline = best over ALL recorded runs at this size (same code may
