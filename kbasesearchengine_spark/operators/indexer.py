@@ -509,30 +509,17 @@ def build_postings_from_docs(
         # build; round 2 kept a string->code dict; v4 removes strings from
         # the kernel entirely.)
         #
-        # v4.1: RADIX PRE-BUCKET by the hash's top byte before the stable
-        # argsort. The flush buffer is up to FLUSH_PAIRS (12M) int64s; a
-        # single stable mergesort over it streams multi-GB of DRAM — the
-        # measured scaling limiter on shared-memory hosts (BENCH/
-        # BASELINE.md group-0 phase). The byte pass is an O(n) counting
-        # sort, and each of the 256 sub-sorts then works a ~n/256 run
-        # (~47k rows, ~370 KB — cache-resident), cutting the sort's DRAM
-        # traffic by the merge depth. Hashes are uniform, so buckets are
-        # balanced by construction. Resulting order = uint64-hash order
-        # (grouping and within-group (segment, doc) stability identical;
-        # no reader depends on signed row order).
-        u = codes.view(np.uint64)
-        byte = (u >> np.uint64(56)).astype(np.uint8)
-        o1 = np.argsort(byte, kind="stable")  # counting/radix, O(n)
-        codes_b = codes[o1]
-        counts = np.bincount(byte, minlength=256)
-        order = np.empty_like(o1)
-        pos = 0
-        for c in counts:
-            c = int(c)
-            if c:
-                sub = np.argsort(codes_b[pos:pos + c], kind="stable")
-                order[pos:pos + c] = o1[pos:pos + c][sub]
-                pos += c
+        # Sort strategy note (r4, measured): numpy's kind="stable" for
+        # int64 IS an LSD radix sort — O(n) sequential streaming passes
+        # that hardware-prefetch well even with 8 pinned processes
+        # contending for one memory system. A top-byte pre-bucket +
+        # 256 cache-resident sub-sorts variant was tried and REVERTED:
+        # single-process it wins ~1.5x, but under 8-way contention its
+        # random-access gathers scale ~2.5x WORSE than the streaming
+        # radix passes (A/B: plain 3.30 vs pre-bucket 1.32 sorts/s at 8
+        # pinned procs on 12M-pair buffers; in-situ group-0 regressed
+        # 46->122s at 8 cores). Keep the plain stable argsort.
+        order = np.argsort(codes, kind="stable")
         seg, doc, dl, tf, codes = (
             seg[order], doc[order], dl[order], tf[order], codes[order]
         )
