@@ -136,7 +136,10 @@ def main() -> None:
     # headline value = sum of the per-step BEST times (the steady-state
     # engine number under the interleaved protocol); raw harness wall
     # clock (incl. repeat rounds + corpus generation) reported alongside
-    canonical = [k for k in timings if not k.endswith("_worst")]
+    canonical = [
+        k for k in timings
+        if not k.endswith("_worst") and not k.endswith("_2nd")
+    ]
     out = {
         "metric": "index-build + BM25 top-10 + training-data ops, "
                   "best-of-interleaved per step",
