@@ -16,13 +16,19 @@ import numpy as np
 
 _U64 = np.uint64
 _SEVEN = _U64(7)
-_MASK7 = _U64(0x7F)
 
 
 def varint_sizes(v: np.ndarray) -> np.ndarray:
     """Per-value LEB128 byte length (1..10). The compare loop stops at the
     width the LARGEST value needs (doc-gap streams are 1-3 bytes — 9
-    fixed passes over the array tripled the sizing cost for nothing)."""
+    fixed passes over the array tripled the sizing cost for nothing).
+
+    Dtype-NATIVE: accepts any non-negative integer dtype and never widens
+    the input (the shift/mask constants are Python ints, which numpy
+    folds to the array's dtype) — int32 tf/dl lanes stay 4-byte through
+    sizing, halving the bytes this DRAM-bound pass moves vs the previous
+    mandatory uint64 inputs. Comparisons only run while
+    ``vmax >= 2**(7j)``, so the threshold always fits the input dtype."""
     nbytes = np.ones(v.shape, dtype=np.int64)
     if v.size == 0:
         return nbytes
@@ -30,11 +36,15 @@ def varint_sizes(v: np.ndarray) -> np.ndarray:
     for j in range(1, 10):
         if vmax < (1 << (7 * j)):
             break
-        nbytes += (v >= (_U64(1) << _U64(7 * j))).astype(np.int64)
+        nbytes += (v >= (1 << (7 * j))).astype(np.int64)
     return nbytes
 
 
 def _varint_into(v: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Dtype-native byte scatter: ``(v >> 7j) & 0x7F`` runs in the input's
+    own dtype (values are non-negative, so arithmetic shift == logical
+    shift; j is bounded by the dtype's own varint width, so the shift
+    amount never exceeds the lane width)."""
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]) if len(ends) else 0, dtype=np.uint8)
@@ -42,7 +52,7 @@ def _varint_into(v: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
     for j in range(maxb):
         mask = nbytes > j
         pos = starts[mask] + j
-        byte = ((v[mask] >> _U64(7 * j)) & _MASK7).astype(np.uint8)
+        byte = ((v[mask] >> (7 * j)) & 0x7F).astype(np.uint8)
         cont = (nbytes[mask] > (j + 1)).astype(np.uint8) << 7
         out[pos] = byte | cont
     return out
@@ -101,8 +111,11 @@ def encode_grouped(
 ) -> dict:
     """Batch-encode MANY posting groups in three varint passes total.
 
-    doc/tf/dl: concatenated per-group arrays (uint64), sorted by doc within
-    each group; starts/ends: group boundaries. Returns dict of per-group
+    doc/tf/dl: concatenated per-group arrays (any non-negative integer
+    dtype — int64 doc + int32 tf/dl end-to-end is the build kernel's
+    layout; nothing is widened to uint64 here, the sizing/scatter math is
+    dtype-native), sorted by doc within each group; starts/ends: group
+    boundaries. Returns dict of per-group
     lists: doc_ids, tfs, dls (bytes), block_last, block_max_tf,
     block_min_dl (lists).
 

@@ -198,6 +198,13 @@ def apply_rules(
             side = dim_df.select(
                 F.col(dim_key).alias(tmp), F.col(target_col).alias(r.name)
             )
+            # the reference's lookup resolves to ONE document
+            # (KeywordParser.java:309-324) — a duplicated dim key would
+            # otherwise fan out fact rows and silently duplicate
+            # documents in a spec-driven build (ADVICE r4). Deterministic
+            # collapse: min target value per key (stable across runs,
+            # unlike dropDuplicates' arbitrary pick).
+            side = side.groupBy(tmp).agg(F.min(r.name).alias(r.name))
             out = out.join(
                 F.broadcast(side), _source_expr(r, json_col) == F.col(tmp),
                 "left",

@@ -70,10 +70,19 @@ def update_docs_fields(
     ).parquet(docs_path)
     shutil.rmtree(tmp, ignore_errors=True)
 
-    # marker name must be stable ACROSS processes (idempotence protocol):
-    # md5 of the sorted field names — Python's hash() is per-process salted
+    # marker name must be stable ACROSS processes (idempotence protocol:
+    # md5, not Python's per-process-salted hash()) yet UNIQUE per logical
+    # mutation — it hashes the assignment VALUES (a Column stringifies to
+    # its expression tree) as well as the field names, so consecutive
+    # share calls for different groups over the same segments each leave
+    # their own lineage record instead of overwriting one marker
+    # (ADVICE r4), while a retry of the SAME mutation stays idempotent.
     field_tag = hashlib.md5(
-        ",".join(sorted(str(k) for k in assignments)).encode()
+        (str(predicate) + "|" + ",".join(
+            f"{k}={assignments[k]}" for k in sorted(
+                str(k) for k in assignments
+            )
+        )).encode()
     ).hexdigest()[:8]
     IndexBuilder(spark, index_dir).write_marker(
         f"update-{min(segs)}-{max(segs)}-{field_tag}",
@@ -136,9 +145,22 @@ def unshare_group(spark, index_dir: str, predicate: Column, group: int) -> dict:
 
 def _groups_col(spark, index_dir: str) -> Column:
     """Current access_groups value, [] when the column doesn't exist yet
-    (first share on a fresh index can't reference a missing column)."""
+    (first share on a fresh index can't reference a missing column).
+
+    A legacy scalar ``access_group`` (set_access_group) is MIGRATED into
+    the array here: the first array-API touch of a row folds the scalar
+    grant in, so the search predicate's array-authoritative precedence
+    (plans/search.AccessFilter) never drops a pre-existing scalar grant
+    and unshare_group can actually revoke it (ADVICE r4)."""
     empty = F.expr("CAST(array() AS array<int>)")
-    docs_path = os.path.join(index_dir, "docs")
-    if "access_groups" in spark.read.parquet(docs_path).columns:
-        return F.coalesce(F.col("access_groups"), empty)
-    return empty
+    cols = spark.read.parquet(os.path.join(index_dir, "docs")).columns
+    parts = []
+    if "access_groups" in cols:
+        parts.append(F.col("access_groups"))
+    if "access_group" in cols:
+        parts.append(
+            F.when(F.col("access_group").isNotNull(),
+                   F.array(F.col("access_group").cast("int")))
+        )
+    parts.append(empty)
+    return F.coalesce(*parts)

@@ -1293,7 +1293,13 @@ def dedup_exact_q(spark, sf_dir):
     "dedup_minhash",
     f"""
 WITH {_DUCK_SHINGLES},
-hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS hx FROM sh),
+-- exact-dup prefilter mirror (dedup.dedup_minhash_candidates
+-- exact_prefilter=True): byte-identical texts collapse to their min-id
+-- representative BEFORE shingling, so intra-exact-cluster pairs are
+-- dedup_exact's job, not LSH's
+reps AS (SELECT min(doc_id) AS id FROM documents GROUP BY md5(text)),
+hx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 13))::BIGINT AS hx
+       FROM sh JOIN reps USING (id)),
 perms AS (SELECT i AS perm, (2*i+1)::BIGINT AS a, (12345*i+7)::BIGINT AS b
           FROM generate_series(0, 15) s(i)),
 sig AS (SELECT id, perm, min((a * hx + b) % 2305843009213693951) AS minhash

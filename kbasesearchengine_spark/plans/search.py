@@ -91,9 +91,23 @@ class AccessFilter:
             if "access_groups" in have:
                 garr = F.array(*[F.lit(g) for g in groups])
                 overlap = F.arrays_overlap(F.col("access_groups"), garr)
-                # null array (never shared) must read as no-overlap
-                preds.append(F.coalesce(overlap, F.lit(False)))
-            if "access_group" in have:
+                if "access_group" in have:
+                    # ROW-LEVEL precedence: the array is authoritative
+                    # wherever it exists — share/unshare edit only the
+                    # array, so OR-ing the legacy scalar in would let a
+                    # grant revoked via unshare_group resurface through a
+                    # stale set_access_group value. Rows the array APIs
+                    # never touched (null array) fall back to the legacy
+                    # scalar grant (mutate._groups_col migrates the
+                    # scalar into the array on first share/unshare).
+                    preds.append(
+                        F.when(F.col("access_groups").isNotNull(), overlap)
+                        .otherwise(F.col("access_group").isin(groups))
+                    )
+                else:
+                    # null array (never shared) must read as no-overlap
+                    preds.append(F.coalesce(overlap, F.lit(False)))
+            elif "access_group" in have:
                 preds.append(F.col("access_group").isin(groups))
         if not preds:
             return F.lit(False)  # A5: provably empty
@@ -270,7 +284,20 @@ def search_objects(
 
         terms = sorted(set(tokenize_py(match.full_text)))
         if terms:  # a term-less pattern '\b()\b' would mark EVERY boundary
-            hl = F.col("text") if "text" in page.columns else F.col("content")
+            payload = next(
+                (c for c in ("text", "content", "sub_value")
+                 if c in page.columns), None
+            )
+            if payload is None:
+                # e.g. a store_text=False index — fail with the cause
+                # instead of an unresolvable-column AnalysisException
+                # deep inside plan analysis (ADVICE r4)
+                raise ValueError(
+                    "highlight requested but the index stores no text "
+                    "payload column (looked for text/content/sub_value "
+                    f"in {page.columns})"
+                )
+            hl = F.col(payload)
             pat = r"(?i)\b(" + "|".join(terms) + r")\b"
             page = page.withColumn(
                 "highlight", F.regexp_replace(hl, pat, "<em>$1</em>")

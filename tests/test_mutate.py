@@ -137,30 +137,35 @@ def test_multigroup_share_unshare(spark, tmp_path):
 
 def test_update_marker_name_is_process_stable(spark, tmp_path):
     """The update-by-query lineage marker name must be identical across
-    processes (idempotence protocol) — md5 of the field names, NOT
-    Python's per-process-salted hash()."""
-    import subprocess
-    import sys
-
+    processes for the SAME logical mutation (idempotence protocol — md5
+    of predicate + assignments, NOT Python's per-process-salted hash())
+    yet UNIQUE across DIFFERENT mutations (ADVICE r4: consecutive share
+    calls for different groups must each leave their own lineage record,
+    not overwrite one marker)."""
     idx_dir = str(tmp_path / "markidx")
     corpus = generate_corpus(spark, 100, parallelism=2)
     IndexBuilder(spark, idx_dir, num_segments=2, segments_per_commit=2).build(
         corpus, key_cols=["repo", "path", "commit"]
     )
+
+    def markers():
+        return sorted(
+            f for f in os.listdir(os.path.join(idx_dir, "_lineage"))
+            if f.startswith("update-")
+        )
+
     update_docs_fields(spark, idx_dir, F.col("doc_id") < 10, {"flag": True})
-    markers = sorted(
-        f for f in os.listdir(os.path.join(idx_dir, "_lineage"))
-        if f.startswith("update-")
-    )
-    assert len(markers) == 1
-    # recompute the expected tag in a FRESH interpreter (different hash salt)
-    code = (
-        "import hashlib;"
-        "print(hashlib.md5(','.join(sorted(['flag'])).encode())"
-        ".hexdigest()[:8])"
-    )
-    tag = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        env={"PYTHONHASHSEED": "12345"},
-    ).stdout.strip()
-    assert markers[0].endswith(f"-{tag}.json")
+    assert len(markers()) == 1
+    # a RETRY of the same logical mutation (fresh Column objects — the
+    # same expression tree str()s identically, with no per-process state
+    # such as object addresses in it) reuses the same marker name
+    update_docs_fields(spark, idx_dir, F.col("doc_id") < 10, {"flag": True})
+    assert len(markers()) == 1
+    assert "0x" not in str(F.col("doc_id") < 10)  # no address leakage
+    # a DIFFERENT mutation over the same segments+fields gets its own
+    # marker (value is part of the name, not just the field set)
+    update_docs_fields(spark, idx_dir, F.col("doc_id") < 10, {"flag": False})
+    assert len(markers()) == 2
+    # ... and so does the same assignment under a different predicate
+    update_docs_fields(spark, idx_dir, F.col("doc_id") < 5, {"flag": True})
+    assert len(markers()) == 3
