@@ -39,8 +39,10 @@ from ..plans.search import (
     Pagination,
     PostProcessing,
     SortingRule,
-    count_objects,
+    _apply_post,
+    _order_exprs,
     get_objects,
+    match_frame,
     search_objects,
     search_types,
 )
@@ -95,6 +97,7 @@ def _to_access(
         user_groups=groups,
         with_public=bool(p.get("with_public", 0)),
         admin=bool(p.get("admin", 0)),
+        with_all_history=bool(p.get("with_all_history", 0)),
     )
 
 
@@ -117,6 +120,7 @@ def _to_post(p: dict | None) -> PostProcessing:
         skip_keys=bool(p.get("skip_keys", 0)),
         skip_data=bool(p.get("skip_data", 0)),
         select_keys=p.get("select_keys"),
+        highlight_fields=p.get("highlight_fields"),
     )
 
 
@@ -126,7 +130,9 @@ def _object_data(row: dict) -> dict:
     from system/payload columns."""
     out = {"guid": row["doc_id"]}
     props = {
-        k: v for k, v in row.items() if k not in _SYSTEM and k not in _DATA
+        k: v for k, v in row.items()
+        if k not in _SYSTEM and k not in _DATA
+        and not k.startswith("highlight_")
     }
     if props:
         out["object_props"] = props
@@ -134,8 +140,20 @@ def _object_data(row: dict) -> dict:
         if c in row:
             out["data"] = row[c]
             break
-    if "highlight" in row:
-        out["highlight"] = row["highlight"]
+    # the reference's highlight result is {field: [fragments]} keyed by
+    # readable field names (ElasticIndexingStorage.java:1196-1217
+    # getKeyProps mapping); per-field highlight_<f> columns fold into
+    # that map — NULL columns (field didn't match) are omitted, like the
+    # reference omits non-matching fields
+    hl_map = {
+        k[len("highlight_"):]: [v]
+        for k, v in row.items()
+        if k.startswith("highlight_") and v is not None
+    }
+    if "highlight" in row and row["highlight"] is not None:
+        hl_map.setdefault("_all", [row["highlight"]])
+    if hl_map:
+        out["highlight"] = hl_map
     if "sha256" in row:
         out["object_hash"] = row["sha256"]
     return out
@@ -172,23 +190,46 @@ class RpcService:
             int(pag.get("start", 0)), int(pag.get("count", 50))
         )
         post = _to_post(params.get("post_processing"))
-        page = search_objects(
-            self.index, mf, sorting=sorting, pagination=pagination,
-            post=post, access=access,
-        )
-        rows = [r.asDict(recursive=True) for r in page.collect()]
+        # total = hits.total: the FULL match-set size, not the page size
+        # (spec KBaseSearchEngine.spec:262,281; ES hits.total via
+        # ElasticIndexingStorage.java:1557 — the reference reads page AND
+        # total from ONE response). Plan:
+        #  - first page: run the bounded fast path; a short page already
+        #    IS the whole match set (total = len, zero extra jobs)
+        #  - otherwise ONE full match pass, persisted, yields the page
+        #    and the count together — never the old bounded-query-plus-
+        #    full-count double computation
+        rows = None
+        if pagination.start == 0:
+            page = search_objects(
+                self.index, mf, sorting=sorting, pagination=pagination,
+                post=post, access=access,
+            )
+            rows = [r.asDict(recursive=True) for r in page.collect()]
+            if len(rows) < pagination.count:
+                total = len(rows)
+            else:
+                rows = None  # full page: fall through to the one-pass plan
+        if rows is None:
+            relevance = bool(sorting) and sorting[0].key == "relevance"
+            frame = match_frame(
+                self.index, mf, access=access, scores=relevance
+            ).persist()
+            try:
+                total = frame.count()
+                page = _apply_post(
+                    frame.orderBy(*_order_exprs(sorting, relevance))
+                    .offset(pagination.start)
+                    .limit(pagination.count),
+                    mf, post,
+                )
+                rows = [r.asDict(recursive=True) for r in page.collect()]
+            finally:
+                frame.unpersist()
         if post.ids_only:
             objects = [{"guid": r["doc_id"]} for r in rows]
         else:
             objects = [_object_data(r) for r in rows]
-        # total = hits.total: the FULL match-set size, not the page size
-        # (spec KBaseSearchEngine.spec:262,281; ES hits.total via
-        # ElasticIndexingStorage.java:1557). A short first page needs no
-        # second job — the page already IS the whole match set.
-        if pagination.start == 0 and len(objects) < pagination.count:
-            total = len(objects)
-        else:
-            total = count_objects(self.index, mf, access=access)
         return {
             "objects": objects,
             "total": total,

@@ -49,15 +49,27 @@ def update_docs_fields(
         return {"updated_rows": 0, "updated_segments": []}
 
     part = docs.where(F.col("segment").isin(segs))
-    updated = part
+    # ONE select evaluates every assignment (and the predicate) against
+    # the ORIGINAL row state — sequential withColumn would let an early
+    # assignment rewrite a column the predicate (or a later assignment)
+    # reads, silently skipping the remaining updates on those rows (bit
+    # us in r5: unshare's lastin removal made the lastin-membership
+    # predicate false before the groups[] removal evaluated). This is
+    # UPDATE semantics: all right-hand sides see the pre-update row.
+    new_cols: dict[str, Column] = {}
     for col, val in assignments.items():
         expr = val if isinstance(val, Column) else F.lit(val)
         if col in part.columns:
-            updated = updated.withColumn(
-                col, F.when(predicate, expr).otherwise(F.col(col))
+            new_cols[col] = (
+                F.when(predicate, expr).otherwise(F.col(col)).alias(col)
             )
         else:
-            updated = updated.withColumn(col, F.when(predicate, expr))
+            new_cols[col] = F.when(predicate, expr).alias(col)
+    updated = part.select(
+        *[new_cols.pop(c) if c in new_cols else F.col(c)
+          for c in part.columns],
+        *new_cols.values(),
+    )
     n = part.where(predicate).count()
 
     # stage, then dynamic-overwrite only the affected partitions (Spark
@@ -141,6 +153,133 @@ def unshare_group(spark, index_dir: str, predicate: Column, group: int) -> dict:
         {"access_groups": F.array_remove(_groups_col(spark, index_dir),
                                          int(group))},
     )
+
+
+# =====================================================================
+# Version-conditioned grants: the reference's lastin[]/groups[]/extpub[]
+# access-doc arrays (ElasticIndexingStorage.java:666-763). Semantics
+# pinned by UPDATE_ACC_GRP_VERS_TEMPLATE (:666-685) and testSharing
+# (ElasticIndexingStorageTest.java:726-773):
+#
+#   lastin[]  version-PINNED share pointer — at most ONE version of an
+#             object carries a given group; re-sharing another version
+#             MOVES the pointer (remove from old version, add to new).
+#             Default AccessFilter visibility = lastin ∋ group.
+#   groups[]  accumulates every (version, group) ever shared; share
+#             never removes it elsewhere, external unshare removes it on
+#             the pointed version only. withAllHistory visibility.
+#   extpub[]  external-publication markers; an exists() clause ORed into
+#             the access block when with_public is set (:1461-1476).
+#
+# On new-version indexing the reference re-runs the same script with the
+# HOME group (+public group) and the new last version — home/public
+# pointers move to the new version; externally shared groups stay pinned
+# where they were shared (testSharing: af11 keeps seeing v1 after v2/v3
+# exist, until v2 is shared into 11 — then v1 disappears for af11).
+# =====================================================================
+
+PUBLIC_ACCESS_GROUP = -1  # ElasticIndexingStorage.java PUBLIC_ACCESS_GROUP
+
+
+def share_object_version(
+    spark, index_dir: str, obj_predicate: Column, version: int, group: int
+) -> dict:
+    """shareObjects analog (:852-894): pin `group`'s lastin pointer to
+    `version` of every object matched by obj_predicate (which must match
+    ALL versions of the object — the reference's prefix query). One
+    update-by-query: the pinned version gains the group in lastin+groups;
+    every other version loses it from lastin (and extpub), exactly the
+    UPDATE_ACC_GRP_VERS_TEMPLATE script."""
+    g, v = int(group), int(version)
+    lastin = _arr_col(spark, index_dir, "access_lastin")
+    groups = _arr_col(spark, index_dir, "access_groups")
+    extpub = _arr_col(spark, index_dir, "extpub")
+    garr = F.array(F.lit(g))
+    is_ver = F.col("version") == v
+    return update_docs_fields(
+        spark, index_dir, obj_predicate,
+        {
+            "access_lastin": F.when(is_ver, F.array_union(lastin, garr))
+            .otherwise(F.array_remove(lastin, g)),
+            "access_groups": F.when(is_ver, F.array_union(groups, garr))
+            .otherwise(groups),
+            "extpub": F.when(is_ver, extpub).otherwise(F.array_remove(extpub, g)),
+        },
+    )
+
+
+def unshare_object_version(
+    spark, index_dir: str, obj_predicate: Column, group: int,
+    home_group: int | None = None,
+) -> dict:
+    """unshareObjects analog (removeAccessGroupForVersion :745-790):
+    remove `group`'s lastin pointer (wherever it is pinned) and its
+    extpub marker; an EXTERNAL group (group != home_group — the
+    reference's fromAllGroups flag) is removed from groups[] on that
+    version too, so withAllHistory stops seeing it there. Only rows
+    actually carrying the pointer are touched (the reference's
+    term-lastin query clause)."""
+    g = int(group)
+    lastin = _arr_col(spark, index_dir, "access_lastin")
+    extpub = _arr_col(spark, index_dir, "extpub")
+    assignments = {
+        "access_lastin": F.array_remove(lastin, g),
+        "extpub": F.array_remove(extpub, g),
+    }
+    if home_group is None or int(home_group) != g:
+        assignments["access_groups"] = F.array_remove(
+            _arr_col(spark, index_dir, "access_groups"), g
+        )
+    pred = obj_predicate & F.coalesce(
+        F.array_contains(lastin, g), F.lit(False)
+    )
+    return update_docs_fields(spark, index_dir, pred, assignments)
+
+
+def promote_last_version(
+    spark, index_dir: str, obj_predicate: Column, new_version: int,
+    home_group: int, public: bool = False,
+) -> dict:
+    """New-version access maintenance (loadObject →
+    updateAccessGroupForVersions with the home group and optionally the
+    public pseudo-group, :655-659): moves the home (and public) lastin
+    pointers to the new last version. Externally shared groups are NOT
+    touched — they stay pinned at the version they were shared at."""
+    out = share_object_version(
+        spark, index_dir, obj_predicate, new_version, home_group
+    )
+    if public:
+        out = share_object_version(
+            spark, index_dir, obj_predicate, new_version,
+            PUBLIC_ACCESS_GROUP,
+        )
+    return out
+
+
+def publish_externally(
+    spark, index_dir: str, obj_predicate: Column, version: int, group: int
+) -> dict:
+    """publishObjectsExternally analog (:1021-1047 + addExtPubForVersion):
+    share the version into the group AND mark it externally published —
+    the exists(extpub) clause makes it publicly visible (:1461-1476)."""
+    g, v = int(group), int(version)
+    share_object_version(spark, index_dir, obj_predicate, v, g)
+    extpub = _arr_col(spark, index_dir, "extpub")
+    return update_docs_fields(
+        spark, index_dir, obj_predicate & (F.col("version") == v),
+        {"extpub": F.array_union(extpub, F.array(F.lit(g)))},
+    )
+
+
+def _arr_col(spark, index_dir: str, name: str) -> Column:
+    """Current value of an int-array access column, [] when the column
+    doesn't exist yet (first mutation on a fresh index can't reference a
+    missing column)."""
+    empty = F.expr("CAST(array() AS array<int>)")
+    cols = spark.read.parquet(os.path.join(index_dir, "docs")).columns
+    if name in cols:
+        return F.coalesce(F.col(name), empty)
+    return empty
 
 
 def _groups_col(spark, index_dir: str) -> Column:

@@ -154,6 +154,8 @@ def _segment_topk_kernel(
     mode: str,
     allowed: np.ndarray | None = None,
     use_wand: bool = True,
+    scores: bool = True,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Score one segment's postings for the query terms. Vectorized numpy.
 
@@ -163,23 +165,76 @@ def _segment_topk_kernel(
     that order pins the float reduction order (score contract: summed in
     sorted-term order, bit-identical at any parallelism). Returns ≤k
     (doc_id, score) rows.
+
+    scores=False (requires k=None): intersection/union-only — emit the
+    matching doc_ids without any BM25 math or tf/dl decode (the
+    reference's DEFAULT non-relevance page order never reads a score,
+    ElasticIndexingStorage.java:1498-1501).
     """
     terms = list(pdf["term_hash"])
     n_terms = len(idfs)
-    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                          "score": pd.Series([], dtype="float64")})
+    if scores:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+    else:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     if mode == "and" and len(set(terms)) < n_terms:
         return empty  # some query term absent from this segment
+    if mode == "and" and use_wand and "block_last" in pdf.columns:
+        # block-granularity skip-list intersection (lazy byte decode)
+        from .wand import and_topk_segment
+
+        return and_topk_segment(
+            pdf, idfs, avgdl, k, allowed=allowed, scores=scores,
+            stats=stats,
+        )
     if (
         mode == "or"
         and use_wand
+        and scores
         and k is not None
         and allowed is None
         and "block_last" in pdf.columns
     ):
         from .wand import wand_topk_segment
 
-        return wand_topk_segment(pdf, idfs, avgdl, k)
+        return wand_topk_segment(pdf, idfs, avgdl, k, stats=stats)
+    if not scores:
+        # union-only OR (and the no-block-metadata AND fallback): decode
+        # doc streams only, never tf/dl
+        parts_ids: dict[int, list] = {}
+        for _, row in pdf.iterrows():
+            parts_ids.setdefault(row["term_hash"], []).append(
+                delta_decode(bytes(row["doc_ids"])).astype(np.int64)
+            )
+        per_term = []
+        for t in idfs:
+            ps = parts_ids.get(t)
+            if ps is None:
+                continue
+            ps.sort(key=lambda a: int(a[0]) if len(a) else 0)
+            per_term.append(np.concatenate(ps) if len(ps) > 1 else ps[0])
+        if not per_term:
+            return empty
+        if mode == "and":
+            per_term.sort(key=len)
+            cand = per_term[0]
+            for ids in per_term[1:]:
+                pos = np.searchsorted(ids, cand)
+                pos = np.minimum(pos, len(ids) - 1)
+                cand = cand[ids[pos] == cand]
+                if cand.size == 0:
+                    return empty
+        else:
+            cand = np.unique(np.concatenate(per_term))
+        if allowed is not None:
+            if len(allowed):
+                pos = np.searchsorted(allowed, cand)
+                pos = np.minimum(pos, len(allowed) - 1)
+                cand = cand[allowed[pos] == cand]
+            else:
+                cand = cand[:0]
+        return pd.DataFrame({"doc_id": cand})
     # a (segment, term) posting can be split across build partitions
     # (disjoint, ordered doc ranges) — merge duplicate term rows
     parts: dict[int, list] = {}
@@ -288,6 +343,7 @@ def topk(
     mode: str = "and",
     doc_filter=None,
     hydrate: bool = True,
+    scores: bool = True,
 ) -> DataFrame:
     """BM25 top-k over the inverted index.
 
@@ -296,12 +352,22 @@ def topk(
     1321-1325); applied BEFORE ranking via a per-segment allowed-doc list.
     k=None returns ALL matching docs scored (match-only mode, no ranking
     cut) — used for counts/aggregations over the match set.
+    scores=False (requires k=None, hydrate=False): return matching
+    doc_ids WITHOUT computing BM25 — no idf math, and the tf/dl posting
+    byte streams are never decoded. This is the plan for the reference's
+    default non-relevance page order and for hits.total counts
+    (ElasticIndexingStorage.java:1498-1501 — score unused there).
     """
+    if not scores and (k is not None or hydrate):
+        raise ValueError(
+            "scores=False is match-only: requires k=None and hydrate=False"
+        )
     spark = index.spark
     terms = sorted(set(tokenize_py(query)))
     stats = index.stats
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    empty = spark.createDataFrame([], "doc_id bigint, score double")
+    out_schema = "doc_id bigint, score double" if scores else "doc_id bigint"
+    empty = spark.createDataFrame([], out_schema)
 
     if not terms:
         return empty
@@ -312,14 +378,18 @@ def topk(
     if not terms:
         return empty
     # keyed by term_hash; insertion order = sorted-term order (terms is
-    # sorted above) — the kernels reduce in this order (score contract)
-    idfs = {term_hash(t): float(bm25_idf(dfs[t], n)) for t in terms}
+    # sorted above) — the kernels reduce in this order (score contract).
+    # Match-only mode skips the idf math (values unused by the kernels).
+    idfs = {
+        term_hash(t): (float(bm25_idf(dfs[t], n)) if scores else 0.0)
+        for t in terms
+    }
 
     postings_q = index.postings.where(
         F.col("term_hash").isin(list(idfs.keys()))
     )
 
-    bc = spark.sparkContext.broadcast((idfs, avgdl, k, mode))
+    bc = spark.sparkContext.broadcast((idfs, avgdl, k, mode, scores))
 
     if doc_filter is not None:
         # candidate bound from the term dictionary (already in hand — no
@@ -338,11 +408,13 @@ def topk(
             # candidate broadcast — thousands of rows, never the ~10^11
             # docs a low-selectivity predicate passes.
             def score_nofilter(pdf: pd.DataFrame) -> pd.DataFrame:
-                idfs_, avgdl_, _k, mode_ = bc.value
-                return _segment_topk_kernel(pdf, idfs_, avgdl_, None, mode_)
+                idfs_, avgdl_, _k, mode_, scores_ = bc.value
+                return _segment_topk_kernel(
+                    pdf, idfs_, avgdl_, None, mode_, scores=scores_
+                )
 
             cand = postings_q.groupBy("segment").applyInPandas(
-                score_nofilter, schema="doc_id bigint, score double"
+                score_nofilter, schema=out_schema
             )
             scored = index.docs.where(doc_filter).select("doc_id").join(
                 F.broadcast(cand), "doc_id"
@@ -357,27 +429,28 @@ def topk(
             def score_cogroup(
                 p_pdf: pd.DataFrame, d_pdf: pd.DataFrame
             ) -> pd.DataFrame:
-                idfs_, avgdl_, k_, mode_ = bc.value
+                idfs_, avgdl_, k_, mode_, scores_ = bc.value
                 allowed = np.sort(d_pdf["doc_id"].to_numpy(dtype=np.int64))
                 return _segment_topk_kernel(
-                    p_pdf, idfs_, avgdl_, k_, mode_, allowed
+                    p_pdf, idfs_, avgdl_, k_, mode_, allowed,
+                    scores=scores_,
                 )
 
             scored = (
                 postings_q.groupBy("segment")
                 .cogroup(allowed_docs.groupBy("segment"))
-                .applyInPandas(
-                    score_cogroup, schema="doc_id bigint, score double"
-                )
+                .applyInPandas(score_cogroup, schema=out_schema)
             )
     else:
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            idfs_, avgdl_, k_, mode_ = bc.value
-            return _segment_topk_kernel(pdf, idfs_, avgdl_, k_, mode_)
+            idfs_, avgdl_, k_, mode_, scores_ = bc.value
+            return _segment_topk_kernel(
+                pdf, idfs_, avgdl_, k_, mode_, scores=scores_
+            )
 
         scored = postings_q.groupBy("segment").applyInPandas(
-            score_group, schema="doc_id bigint, score double"
+            score_group, schema=out_schema
         )
 
     if k is None:

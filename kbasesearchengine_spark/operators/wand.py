@@ -51,10 +51,21 @@ class _LazyTermPostings:
 
     __slots__ = (
         "rows", "block_row", "block_local", "block_last", "block_start",
-        "ub", "n_blocks", "_cache", "stats",
+        "ub", "n_blocks", "_cache", "stats", "need_payload",
     )
 
-    def __init__(self, rows: list[dict], avgdl: float, idf: float, stats: dict):
+    def __init__(
+        self,
+        rows: list[dict],
+        avgdl: float,
+        idf: float,
+        stats: dict,
+        need_payload: bool = True,
+    ):
+        # need_payload=False: intersection-only callers (non-relevance
+        # pages, counts) never read tf/dl — those byte streams are not
+        # even sliced, let alone decoded
+        self.need_payload = need_payload
         # rows sorted by first block_last (disjoint doc ranges)
         rows = sorted(rows, key=lambda r: int(r["block_last"][0]))
         self.rows = rows
@@ -99,23 +110,150 @@ class _LazyTermPostings:
         j = int(self.block_local[b])
         r = self.rows[ri]
         doc_b = self._slice(bytes(r["doc_ids"]), r["block_doc_off"], j)
-        tf_b = self._slice(bytes(r["tfs"]), r["block_tf_off"], j)
-        dl_b = self._slice(bytes(r["dls"]), r["block_dl_off"], j)
-        self.stats["decoded_bytes"] += len(doc_b) + len(tf_b) + len(dl_b)
-        self.stats["decoded_blocks"] += 1
         gaps = varint_decode(doc_b).astype(np.int64)
         ids = np.cumsum(gaps)
         if j > 0:
             # first gap of a non-first block is relative to the previous
             # block's last doc (delta stream is contiguous per row)
             ids += int(r["block_last"][j - 1])
-        out = (
-            ids,
-            varint_decode(tf_b).astype(np.float64),
-            varint_decode(dl_b).astype(np.float64),
-        )
+        if self.need_payload:
+            tf_b = self._slice(bytes(r["tfs"]), r["block_tf_off"], j)
+            dl_b = self._slice(bytes(r["dls"]), r["block_dl_off"], j)
+            out = (
+                ids,
+                varint_decode(tf_b).astype(np.float64),
+                varint_decode(dl_b).astype(np.float64),
+            )
+        else:
+            tf_b = dl_b = b""
+            out = (ids, None, None)
+        self.stats["decoded_bytes"] += len(doc_b) + len(tf_b) + len(dl_b)
+        self.stats["decoded_blocks"] += 1
         self._cache[b] = out
         return out
+
+
+def and_topk_segment(
+    pdf: pd.DataFrame,
+    idfs: dict[int, float],
+    avgdl: float,
+    k: int | None,
+    allowed: np.ndarray | None = None,
+    scores: bool = True,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """Conjunctive (AND) match with block-granularity skipping — the
+    skip-list intersection Lucene runs for ``operator:"and"`` queries
+    (implicit in the reference's ES hand-off, ElasticIndexingStorage.
+    java:1364-1375; SURVEY §4).
+
+    The rarest term's postings are decoded in full and become the
+    candidate list; every OTHER term then decodes ONLY the blocks a
+    surviving candidate can fall in (searchsorted over block_last — the
+    block directory is the skip list). A stopword AND a rare term decodes
+    the rare list plus a handful of the stopword's blocks instead of the
+    stopword's entire postings — pruning skips BYTES (decoded-bytes
+    counter shared with the OR-path WAND, asserted in tests/test_wand.py).
+
+    scores=False (intersection-only: non-relevance pages, counts) skips
+    the tf/dl streams entirely and returns just the doc_id column.
+    Score reduction runs in idfs insertion order (= sorted-term order)
+    over the final candidate set — bit-identical to the exhaustive
+    kernel's contract.
+    """
+    if stats is None:
+        stats = {}
+    for key in ("decoded_bytes", "total_bytes", "decoded_blocks",
+                "total_blocks"):
+        stats.setdefault(key, 0)
+    if scores:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+
+    by_term: dict[int, list] = {}
+    for _, row in pdf.iterrows():
+        if len(row["block_last"]) == 0:
+            continue
+        by_term.setdefault(row["term_hash"], []).append(row)
+    if any(t not in by_term for t in idfs):
+        return empty  # conjunctive: a term absent from this segment
+    lazy = {
+        t: _LazyTermPostings(by_term[t], avgdl, idfs[t], stats,
+                             need_payload=scores)
+        for t in idfs
+    }
+
+    # rarest-first: fewest blocks ≈ smallest df drives the intersection
+    order_terms = sorted(lazy, key=lambda t: lazy[t].n_blocks)
+    t0 = lazy[order_terms[0]]
+    cand = np.concatenate(
+        [t0.decode_block(b)[0] for b in range(t0.n_blocks)]
+    )
+    if allowed is not None:
+        # applying the filter FIRST shrinks the candidate set before any
+        # other term decodes — fewer blocks touched downstream
+        if len(allowed):
+            pos = np.searchsorted(allowed, cand)
+            pos = np.minimum(pos, len(allowed) - 1)
+            cand = cand[allowed[pos] == cand]
+        else:
+            cand = cand[:0]
+    if cand.size == 0:
+        return empty
+
+    decoded: dict[int, tuple] = {}
+    for t in order_terms[1:]:
+        tp = lazy[t]
+        bi = np.searchsorted(tp.block_last, cand)
+        needed = np.unique(bi[bi < tp.n_blocks])
+        if needed.size == 0:
+            return empty
+        parts = [tp.decode_block(int(b)) for b in needed]
+        # blocks are doc-ordered (rows sorted by first block_last,
+        # disjoint ranges) — concatenation stays sorted for searchsorted
+        ids = np.concatenate([p[0] for p in parts])
+        pos = np.searchsorted(ids, cand)
+        pos = np.minimum(pos, len(ids) - 1)
+        cand = cand[ids[pos] == cand]
+        if cand.size == 0:
+            return empty
+        if scores:
+            decoded[t] = (
+                ids,
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+
+    if not scores:
+        return pd.DataFrame({"doc_id": cand})
+
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in idfs:  # idfs order = sorted-term order (score contract)
+        if t in decoded:
+            ids, tfs, dls = decoded[t]
+        else:  # the rarest term: gather from its (memoized) full decode
+            tp = lazy[t]
+            parts = [tp.decode_block(b) for b in range(tp.n_blocks)]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+        pos = np.searchsorted(ids, cand)
+        score += idfs[t] * tf_norm(tfs[pos], dls[pos], avgdl)
+
+    if k is not None and cand.size > k:
+        # tie-aware selection (same contract as the exhaustive kernel)
+        part = np.argpartition(-score, k - 1)
+        kth = score[part[k - 1]]
+        keep = score >= kth
+        cand, score = cand[keep], score[keep]
+    order = np.lexsort((cand, -score))
+    if k is not None:
+        order = order[:k]
+    return pd.DataFrame({"doc_id": cand[order], "score": score[order]})
 
 
 def wand_topk_segment(

@@ -351,22 +351,44 @@ WITH m AS (
   SELECT doc_id FROM (
     SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
            '[a-z0-9_]+'))) AS term FROM documents) t
-  WHERE term = 'dup')
-SELECT d.doc_id,
-       regexp_replace(d.text, '(?i)\\b(dup)\\b', '<em>\\1</em>', 'g')
-         AS highlighted
-FROM documents d JOIN m USING (doc_id) ORDER BY d.doc_id LIMIT 10
+  WHERE term = 'dup'),
+t AS (
+  SELECT d.doc_id,
+         regexp_replace(d.text, '(?i)\\b(dup)\\b', '<em>\\1</em>', 'g')
+           AS highlighted
+  FROM documents d JOIN m USING (doc_id) ORDER BY d.doc_id LIMIT 10),
+f AS (
+  SELECT doc_id, '<em>src3</em>' AS hl_source, NULL::VARCHAR AS hl_lang
+  FROM documents WHERE source = 'src3' ORDER BY doc_id LIMIT 10)
+SELECT * FROM (
+  SELECT 'text' AS variant, doc_id, highlighted,
+         NULL::VARCHAR AS hl_source, NULL::VARCHAR AS hl_lang FROM t
+  UNION ALL
+  SELECT 'field', doc_id, NULL::VARCHAR, hl_source, hl_lang FROM f
+) ORDER BY variant, doc_id
 """,
 )
 def ft_highlight(spark, sf_dir):
-    """Highlight (T13): <em>-wrapped ANALYZED-TOKEN matches on returned
-    docs (ElasticIndexingStorage.java:1096-1100; token — not substring —
-    semantics pinned at ElasticIndexingStorageTest.java:1488-1535: `dup`
-    must not light up inside `dedup`). \b = the [A-Za-z0-9_] boundary in
-    both Java regex and DuckDB RE2 — the analyzer's token alphabet."""
+    """Highlight (T13), BOTH shapes in one compound result.
+
+    variant 'text': <em>-wrapped ANALYZED-TOKEN matches on the primary
+    payload (ElasticIndexingStorage.java:1096-1100; token — not
+    substring — semantics pinned at ElasticIndexingStorageTest.java:
+    1488-1535: `dup` must not light up inside `dedup`). \b = the
+    [A-Za-z0-9_] boundary in both Java regex and DuckDB RE2 — the
+    analyzer's token alphabet.
+
+    variant 'field': the PER-FIELD highlight map (the reference returns
+    {field: [fragments]} with require_field_match false, :1196-1217) —
+    a field-scoped match on `source` through the facade with
+    highlight_fields=[source, lang]: the matching field comes back
+    <em>-marked, the non-matching field is NULL (omitted from the map
+    at the RPC layer, like the reference omits it)."""
+    from .search import MatchFilter, Pagination, PostProcessing
+
     index = get_index(spark, sf_dir)
     matched = topk(index, "dup", k=None, mode="and", hydrate=False).select("doc_id")
-    return (
+    text_v = (
         index.docs.join(matched, "doc_id", "left_semi")
         .select(
             "doc_id",
@@ -376,7 +398,24 @@ def ft_highlight(spark, sf_dir):
         )
         .orderBy("doc_id")
         .limit(10)
+        .select(
+            F.lit("text").alias("variant"), "doc_id", "highlighted",
+            F.lit(None).cast("string").alias("hl_source"),
+            F.lit(None).cast("string").alias("hl_lang"),
+        )
     )
+    field_v = search_objects_facade(
+        index,
+        MatchFilter(full_text="src3", field="source"),
+        pagination=Pagination(0, 10),
+        post=PostProcessing(highlight_fields=["source", "lang"]),
+    ).select(
+        F.lit("field").alias("variant"), "doc_id",
+        F.lit(None).cast("string").alias("highlighted"),
+        F.col("highlight_source").alias("hl_source"),
+        F.col("highlight_lang").alias("hl_lang"),
+    )
+    return text_v.unionByName(field_v).orderBy("variant", "doc_id")
 
 
 @q(
@@ -843,6 +882,65 @@ def mut_publish_search(spark, sf_dir):
     )
 
 
+def _vermut_index(spark: SparkSession, sf_dir: str):
+    """A VERSIONED index for the lastin[]/groups[]/extpub[] access family
+    (ElasticIndexingStorage.java:666-763): documents doc_id < 240 folded
+    into 80 objects x 3 versions (obj_id = doc_id//3, version =
+    doc_id%3+1). Mutations (idempotent — the access_lastin column marks
+    the pass done):
+      init       groups=[10] every version (index-time home grant)
+      promote    home lastin pointer -> v3 (new-version maintenance)
+      share      g11 pinned at v1 of obj%5==0
+      re-share   g11 pointer MOVED to v2 of obj%10==0
+      unshare    g11 revoked for obj%20==0 (pointer was at v2)
+      extpub     g12 externally published at v3 of obj%7==0
+    """
+    from ..operators.mutate import (
+        promote_last_version,
+        publish_externally,
+        share_object_version,
+        unshare_object_version,
+        update_docs_fields,
+    )
+
+    key = "vermut:" + os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), f"kbse_vermut_v{FORMAT_VERSION}_{tag}"
+        )
+        corpus = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") < 240)
+            .withColumn("obj_id", (F.col("doc_id") / 3).cast("int"))
+            .withColumn("version", (F.col("doc_id") % 3 + 1).cast("int"))
+        )
+        IndexBuilder(
+            spark, idx_dir, num_segments=4, segments_per_commit=4
+        ).build(
+            corpus, key_cols=["doc_id"], text_col="text",
+            doc_id_col="doc_id", resume=True,
+        )
+        docs_cols = spark.read.parquet(os.path.join(idx_dir, "docs")).columns
+        if "access_lastin" not in docs_cols:
+            obj = F.col("obj_id")
+            update_docs_fields(
+                spark, idx_dir, F.lit(True),
+                {"access_groups": F.array(F.lit(10)),
+                 "access_lastin": F.expr("CAST(array() AS array<int>)"),
+                 "extpub": F.expr("CAST(array() AS array<int>)")},
+            )
+            promote_last_version(spark, idx_dir, F.lit(True), 3,
+                                 home_group=10)
+            share_object_version(spark, idx_dir, obj % 5 == 0, 1, 11)
+            share_object_version(spark, idx_dir, obj % 10 == 0, 2, 11)
+            unshare_object_version(spark, idx_dir, obj % 20 == 0, 11,
+                                   home_group=10)
+            publish_externally(spark, idx_dir, obj % 7 == 0, 3, 12)
+        _INDEX_CACHE[key] = idx_dir
+    return InvertedIndex(spark, _INDEX_CACHE[key])
+
+
 @q(
     "mut_access_modes",
     """
@@ -851,21 +949,48 @@ WITH m AS (
     SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
            '[a-z0-9_]+'))) AS term
     FROM documents WHERE doc_id < 300) t
-  WHERE term = 'the' GROUP BY doc_id)
+  WHERE term = 'the' GROUP BY doc_id),
+mv AS (SELECT doc_id, doc_id // 3 AS obj, doc_id % 3 + 1 AS ver
+       FROM m WHERE doc_id < 240)
 SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_admin,
        CAST((SELECT count(*) FROM m JOIN documents d USING (doc_id)
              WHERE d.lang = 'en' OR d.source IN ('src3','src7','src11'))
             AS BIGINT) AS n_user,
-       CAST(0 AS BIGINT) AS n_empty
+       CAST(0 AS BIGINT) AS n_empty,
+       CAST((SELECT count(*) FROM mv WHERE ver = 3) AS BIGINT) AS n_v_home,
+       CAST((SELECT count(*) FROM mv) AS BIGINT) AS n_v_hist,
+       CAST((SELECT count(*) FROM mv
+             WHERE (ver = 1 AND obj % 5 = 0 AND obj % 10 <> 0)
+                OR (ver = 2 AND obj % 10 = 0 AND obj % 20 <> 0))
+            AS BIGINT) AS n_v_g11,
+       CAST((SELECT count(*) FROM mv
+             WHERE (ver = 1 AND obj % 5 = 0)
+                OR (ver = 2 AND obj % 10 = 0 AND obj % 20 <> 0))
+            AS BIGINT) AS n_v_g11_hist,
+       CAST((SELECT count(*) FROM mv WHERE ver = 3 AND obj % 7 = 0)
+            AS BIGINT) AS n_v_extpub
 """,
 )
 def mut_access_modes(spark, sf_dir):
-    """A4 admin mode + A5 empty-access short-circuit, gate-visible: the
-    same match evaluated under three AccessFilters — admin sees every hit
-    regardless of share/publish flags (ElasticIndexingStorage.java:
-    1423-1440), a group-7 user sees public∪shared (A1/A2), and an
-    empty filter returns ZERO rows without touching the index
-    (:1506-1511)."""
+    """A4 admin mode + A5 empty-access short-circuit + the reference's
+    VERSION-CONDITIONED grants, gate-visible in one compound row.
+
+    n_admin/n_user/n_empty: the same match under three AccessFilters —
+    admin sees every hit (ElasticIndexingStorage.java:1423-1440), a
+    group-7 user sees public∪shared (A1/A2), an empty filter returns
+    ZERO rows without touching the index (:1506-1511).
+
+    n_v_*: lastin[]/groups[]/extpub[] semantics over a versioned index
+    (UPDATE_ACC_GRP_VERS_TEMPLATE :666-685; testSharing :726-773):
+      n_v_home      home group sees only LAST versions (lastin moved by
+                    new-version promotion)
+      n_v_hist      with_all_history sees every version (groups[])
+      n_v_g11       version-PINNED shares: v1 grants survive unless the
+                    pointer was re-shared to v2; unshare revokes
+      n_v_g11_hist  groups[] accumulates across re-shares; external
+                    unshare removes only the pointed version's grant
+      n_v_extpub    exists(extpub) clause under with_public (:1461-1476)
+    """
     from .search import AccessFilter, MatchFilter, Pagination
 
     index = _mut_index(spark, sf_dir)
@@ -882,9 +1007,27 @@ def mut_access_modes(spark, sf_dir):
     n_empty = search_objects_facade(
         index, mf, access=AccessFilter(), pagination=pg
     ).count()
+
+    vindex = _vermut_index(spark, sf_dir)
+    pgv = Pagination(0, 10_000)
+
+    def nv(groups, hist=False, public=False):
+        return search_objects_facade(
+            vindex, mf,
+            access=AccessFilter(user_groups=groups, with_all_history=hist,
+                                with_public=public),
+            pagination=pgv,
+        ).count()
+
     return spark.createDataFrame(
-        [(n_admin, n_user, n_empty)],
-        "n_admin bigint, n_user bigint, n_empty bigint",
+        [(
+            n_admin, n_user, n_empty,
+            nv([10]), nv([10], hist=True), nv([11]), nv([11], hist=True),
+            nv([], public=True),
+        )],
+        "n_admin bigint, n_user bigint, n_empty bigint, n_v_home bigint, "
+        "n_v_hist bigint, n_v_g11 bigint, n_v_g11_hist bigint, "
+        "n_v_extpub bigint",
     )
 
 
@@ -1933,9 +2076,14 @@ def ft_sub_search(spark, sf_dir):
     assert "sub_id" not in index.docs.columns
 
     # child search through the facade switch — all matching children
-    # (k=None via a huge page; every child doc has dl=1)
+    # (k=None via a huge page; every child doc has dl=1). Relevance sort
+    # requested because the oracle checks the child-scoped BM25 scores —
+    # the default non-relevance page is intersection-only (no score col).
+    from .search import SortingRule
+
     children = search_objects(
         index, MatchFilter(full_text="dup"), include_subobjects=True,
+        sorting=[SortingRule("relevance")],
         pagination=Pagination(0, 1_000_000),
     ).select("sub_id", F.round("score", 6).alias("score"))
 

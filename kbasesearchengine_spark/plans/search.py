@@ -67,10 +67,25 @@ class AccessFilter:
                         `access_group` column is honored too.
       no groups + no public + not admin -> ZERO hits without touching the
                         index (A5 short-circuit, :1506-1511)
+
+    with_all_history: version-conditioned visibility on a VERSIONED index
+    (one whose docs carry the `access_lastin` array written by
+    operators/mutate.share_object_version). The reference keeps TWO grant
+    arrays per version (ElasticIndexingStorage.java:1442-1484
+    createAccessMustBlock — `groups` when withAllHistory else `lastin`):
+    `lastin` is the version-pinned share pointer (at most one version per
+    (object, group); re-share moves it; new-version indexing moves the
+    home/public pointers), `groups` accumulates every version ever
+    shared. Default = lastin (you see the version that was shared to
+    you); with_all_history = groups (every version ever shared). The
+    `extpub` exists-clause is ORed in under with_public (:1461-1476).
+    On a non-versioned index (no access_lastin column) both modes
+    collapse to the single access_groups array — unchanged behavior.
     """
     user_groups: list = dc_field(default_factory=list)
     with_public: bool = False
     admin: bool = False
+    with_all_history: bool = False
 
     def is_empty(self) -> bool:
         """A5: nothing could possibly match — skip the query entirely."""
@@ -78,17 +93,37 @@ class AccessFilter:
 
     def predicate(self, columns: list | None = None) -> Column | None:
         """columns: the docs table's columns — selects which access
-        metadata exists (array vs legacy scalar grants). None = assume
-        the legacy scalar layout (back-compat)."""
+        metadata exists (version-pinned arrays vs plain array vs legacy
+        scalar grants). None = assume the legacy scalar layout
+        (back-compat)."""
         if self.admin:
             return None  # unconstrained
         preds = []
+        have_cols = set(columns) if columns is not None else None
         if self.with_public:
-            preds.append(F.col("is_public") == True)  # noqa: E712
+            if have_cols is None or "is_public" in have_cols:
+                preds.append(F.col("is_public") == True)  # noqa: E712
+            if have_cols is not None and "extpub" in have_cols:
+                # external-publication exists clause (:1461-1476)
+                preds.append(
+                    F.coalesce(F.size("extpub") > 0, F.lit(False))
+                )
         if self.user_groups:
             groups = [int(g) for g in self.user_groups]
-            have = set(columns) if columns is not None else {"access_group"}
-            if "access_groups" in have:
+            have = have_cols if have_cols is not None else {"access_group"}
+            if "access_lastin" in have:
+                # versioned index: lastin (default) vs groups (history)
+                prop = (
+                    "access_groups" if self.with_all_history
+                    else "access_lastin"
+                )
+                garr = F.array(*[F.lit(g) for g in groups])
+                preds.append(
+                    F.coalesce(
+                        F.arrays_overlap(F.col(prop), garr), F.lit(False)
+                    )
+                )
+            elif "access_groups" in have:
                 garr = F.array(*[F.lit(g) for g in groups])
                 overlap = F.arrays_overlap(F.col("access_groups"), garr)
                 if "access_group" in have:
@@ -148,6 +183,16 @@ class PostProcessing:
                        same effect as include_content=False
       select_keys   -> keep ONLY these keyword columns (spec's
                        object_props whitelist; applied after skip flags)
+      highlight_fields -> per-FIELD highlight map (the reference returns
+                       {field: [fragments]} with require_field_match
+                       false — every requested field is scanned for the
+                       query terms; ElasticIndexingStorage.java:
+                       1096-1100, 1196-1217): each listed doc column f
+                       gains a `highlight_<f>` column holding the
+                       <em>-marked value when the field matches a query
+                       token, NULL when it doesn't (the reference omits
+                       non-matching fields from the map). None = the
+                       legacy single-payload `highlight` column.
     """
 
     ids_only: bool = False
@@ -156,6 +201,7 @@ class PostProcessing:
     skip_keys: bool = False
     skip_data: bool = False
     select_keys: list | None = None
+    highlight_fields: list | None = None
 
 
 def _predicate(mf: MatchFilter) -> Column | None:
@@ -206,6 +252,74 @@ def _predicate(mf: MatchFilter) -> Column | None:
     return out
 
 
+def _combined_predicate(
+    index: InvertedIndex, match: MatchFilter, access: AccessFilter | None
+) -> Column | None:
+    pred = _predicate(match)
+    if access is not None:
+        ap = access.predicate(columns=index.docs.columns)
+        if ap is not None:
+            pred = ap if pred is None else (pred & ap)
+    return pred
+
+
+def match_frame(
+    index: InvertedIndex,
+    match: MatchFilter,
+    access: AccessFilter | None = None,
+    scores: bool = False,
+    k: int | None = None,
+) -> DataFrame:
+    """The FULL filtered match frame (docs columns, + `score` when
+    requested) with no ordering/pagination applied — the one computation
+    behind pages, hits.total and type aggregations. The RPC layer
+    persists this to produce a page and its total from a single pass
+    (the reference gets both from one ES response,
+    ElasticIndexingStorage.java:1557).
+
+    scores=False skips ALL BM25 work (no idf math, tf/dl streams never
+    decoded) — the reference's default page order is NOT relevance
+    (:1498-1501), so the default path is intersection-only. k bounds the
+    per-segment candidates (relevance paging only — k implies scores)."""
+    if access is not None and access.is_empty():
+        # A5 short-circuit: the empty shape without touching the index
+        empty = index.docs.limit(0)
+        return empty.withColumn("score", F.lit(0.0)) if scores else empty
+    pred = _combined_predicate(index, match, access)
+    if match.full_text:
+        scoring = index.field_index(match.field) if match.field else index
+        scored = topk(
+            scoring,
+            match.full_text,
+            k=k if scores else None,
+            mode=match.full_text_mode,
+            doc_filter=pred,
+            hydrate=False,
+            scores=scores,
+        )
+        return index.docs.join(scored, "doc_id")
+    docs = index.docs
+    if pred is not None:
+        docs = docs.where(pred)
+    return docs.withColumn("score", F.lit(0.0)) if scores else docs
+
+
+def _order_exprs(
+    sorting: list[SortingRule] | None, relevance: bool
+) -> list[Column]:
+    if relevance:
+        order = [F.desc("score"), F.asc("doc_id")]
+        order += [
+            (F.asc(s.key) if s.ascending else F.desc(s.key)) for s in sorting[1:]
+        ]
+    elif sorting:
+        order = [(F.asc(s.key) if s.ascending else F.desc(s.key)) for s in sorting]
+        order.append(F.asc("doc_id"))  # deterministic ties (O5)
+    else:
+        order = [F.asc("doc_id")]  # default: NOT relevance (O2 analog)
+    return order
+
+
 def search_objects(
     index: InvertedIndex,
     match: MatchFilter,
@@ -221,53 +335,33 @@ def search_objects(
     own postings/stats/docs — hits are child documents keyed by sub_id)
     instead of the parent index. The default path never touches child
     postings — the reference's `-*_sub` index-pattern exclusion
-    (ElasticIndexingStorage.java:62,1544-1546) is structural here."""
+    (ElasticIndexingStorage.java:62,1544-1546) is structural here.
+
+    A `score` column appears ONLY under a relevance sort: the default
+    order is doc_id (the reference's timestamp analog, :1498-1501), and
+    a non-relevance full-text page is pure intersection — no BM25 math,
+    no tf/dl decode (asserted in tests/test_plan_quality.py)."""
     if include_subobjects:
         index = index.sub_index()
     pagination = pagination or Pagination()
     post = post or PostProcessing()
-    if access is not None and access.is_empty():
-        # A5 short-circuit: return the empty shape without querying
-        empty = index.docs.limit(0).withColumn("score", F.lit(0.0))
-        return empty.select("doc_id") if post.ids_only else empty
-    pred = _predicate(match)
-    if access is not None:
-        ap = access.predicate(columns=index.docs.columns)
-        if ap is not None:
-            pred = ap if pred is None else (pred & ap)
-
     relevance = bool(sorting) and sorting[0].key == "relevance"
+    frame = match_frame(
+        index, match, access=access, scores=relevance,
+        k=pagination.start + pagination.count if relevance else None,
+    )
+    page = (
+        frame.orderBy(*_order_exprs(sorting, relevance))
+        .offset(pagination.start)
+        .limit(pagination.count)
+    )
+    return _apply_post(page, match, post)
 
-    if match.full_text:
-        need = pagination.start + pagination.count
-        scoring = index.field_index(match.field) if match.field else index
-        scored = topk(
-            scoring,
-            match.full_text,
-            k=need if relevance else None,
-            mode=match.full_text_mode,
-            doc_filter=pred,
-            hydrate=False,
-        )
-        docs = index.docs.join(scored, "doc_id")
-    else:
-        docs = index.docs.withColumn("score", F.lit(0.0))
-        if pred is not None:
-            docs = docs.where(pred)
 
-    if relevance:
-        order = [F.desc("score"), F.asc("doc_id")]
-        order += [
-            (F.asc(s.key) if s.ascending else F.desc(s.key)) for s in sorting[1:]
-        ]
-    elif sorting:
-        order = [(F.asc(s.key) if s.ascending else F.desc(s.key)) for s in sorting]
-        order.append(F.asc("doc_id"))  # deterministic ties (O5)
-    else:
-        order = [F.asc("doc_id")]  # default: NOT relevance (O2 analog)
-
-    page = docs.orderBy(*order).offset(pagination.start).limit(pagination.count)
-
+def _apply_post(
+    page: DataFrame, match: MatchFilter, post: PostProcessing
+) -> DataFrame:
+    """P10/T13 post-processing over an ordered page."""
     if post.ids_only:
         return page.select("doc_id")  # _source: [guid] analog (P10)
     if post.highlight and match.full_text:
@@ -302,6 +396,30 @@ def search_objects(
             page = page.withColumn(
                 "highlight", F.regexp_replace(hl, pat, "<em>$1</em>")
             )
+    if post.highlight_fields and match.full_text:
+        # per-field highlight map (T13 extended): one alternation pass
+        # per requested field; NULL where the field has no token match —
+        # the RPC layer folds highlight_<f> columns into the reference's
+        # {field: [fragments]} shape (require_field_match: false)
+        from ..functions.tokenize import tokenize_py
+
+        terms = sorted(set(tokenize_py(match.full_text)))
+        if terms:
+            pat = r"(?i)\b(" + "|".join(terms) + r")\b"
+            for f_name in post.highlight_fields:
+                if f_name not in page.columns:
+                    raise ValueError(
+                        f"highlight field {f_name!r} is not a column of "
+                        f"this index ({page.columns})"
+                    )
+                src = F.col(f_name).cast("string")
+                page = page.withColumn(
+                    f"highlight_{f_name}",
+                    F.when(
+                        src.rlike(pat),
+                        F.regexp_replace(src, pat, "<em>$1</em>"),
+                    ),
+                )
     if post.skip_keys or post.select_keys is not None:
         keep_keys = set(post.select_keys or ())
         drop = [
@@ -309,6 +427,7 @@ def search_objects(
             if c not in _SYSTEM_COLS
             and c not in _DATA_COLS
             and c not in keep_keys
+            and not c.startswith("highlight_")  # per-field fragments stay
         ]
         page = page.drop(*drop)
     if not post.include_content or post.skip_data:
@@ -324,25 +443,11 @@ def count_objects(
 ) -> int:
     """hits.total (G3): the size of the FULL match set, independent of
     pagination — the reference returns it with every page
-    (ElasticIndexingStorage.java:1557 total from ES hits.total)."""
+    (ElasticIndexingStorage.java:1557 total from ES hits.total). A pure
+    count: scores=False, so no BM25 math or tf/dl decode anywhere."""
     if access is not None and access.is_empty():
         return 0
-    pred = _predicate(match)
-    if access is not None:
-        ap = access.predicate(columns=index.docs.columns)
-        if ap is not None:
-            pred = ap if pred is None else (pred & ap)
-    if match.full_text:
-        scoring = index.field_index(match.field) if match.field else index
-        scored = topk(
-            scoring, match.full_text, k=None, mode=match.full_text_mode,
-            doc_filter=pred, hydrate=False,
-        )
-        return scored.count()
-    docs = index.docs
-    if pred is not None:
-        docs = docs.where(pred)
-    return docs.count()
+    return match_frame(index, match, access=access, scores=False).count()
 
 
 def search_types(
@@ -351,30 +456,11 @@ def search_types(
     type_col: str = "lang",
     access: AccessFilter | None = None,
 ) -> DataFrame:
-    """Count matching docs per type, size 0 (G1)."""
-    if access is not None and access.is_empty():
-        return (
-            index.docs.limit(0)
-            .groupBy(F.col(type_col).alias("type"))
-            .agg(F.count("*").alias("count"))
-        )
-    pred = _predicate(match)
-    if access is not None:
-        ap = access.predicate(columns=index.docs.columns)
-        if ap is not None:
-            pred = ap if pred is None else (pred & ap)
-    if match.full_text:
-        scoring = index.field_index(match.field) if match.field else index
-        scored = topk(
-            scoring, match.full_text, k=None, mode=match.full_text_mode,
-            doc_filter=pred, hydrate=False,
-        )
-        docs = index.docs.join(scored.select("doc_id"), "doc_id", "left_semi")
-    else:
-        docs = index.docs
-        if pred is not None:
-            docs = docs.where(pred)
-    return docs.groupBy(F.col(type_col).alias("type")).agg(
+    """Count matching docs per type, size 0 (G1) — intersection-only
+    (scores=False: the aggregation never reads a score)."""
+    return match_frame(
+        index, match, access=access, scores=False
+    ).groupBy(F.col(type_col).alias("type")).agg(
         F.count("*").alias("count")
     )
 
@@ -382,3 +468,35 @@ def search_types(
 def get_objects(index: InvertedIndex, doc_ids: list[int]) -> DataFrame:
     """GUID-list lookup (J2)."""
     return index.docs.where(F.col("doc_id").isin([int(i) for i in doc_ids]))
+
+
+# child-doc system columns — everything else on a sub index's docs table
+# is a parent identity column (explode_subobjects carries them through)
+_SUB_SYSTEM_COLS = {
+    "sub_value", "sub_id", "is_sub", "dl", "doc_id", "sha256", "segment",
+}
+
+
+def lookup_parent_doc_ids(
+    index: InvertedIndex, parent_keys: list[str]
+) -> DataFrame:
+    """J3: dedicated parent-GUID → child-document lookup over the
+    physical `*_sub` index (the reference's lookupParentDocIds,
+    ElasticIndexingStorage.java:432-460 — a terms filter on `pguid`
+    returning the matching child ids). The parent key is the same
+    '/'-joined composition explode_subobjects used to mint the child
+    GUIDs (`<parent-key>:<ordinal>`), so callers pass the keys they
+    indexed with. Returns (parent_key, sub_id, doc_id) — a pruned
+    metadata scan, no postings touched."""
+    sub = index.sub_index()
+    parent_cols = [
+        c for c in sub.docs.columns if c not in _SUB_SYSTEM_COLS
+    ]
+    if not parent_cols:
+        raise ValueError("sub index carries no parent identity columns")
+    parent_key = F.concat_ws("/", *[F.col(c) for c in parent_cols])
+    return (
+        sub.docs.withColumn("parent_key", parent_key)
+        .where(F.col("parent_key").isin([str(k) for k in parent_keys]))
+        .select("parent_key", "sub_id", "doc_id")
+    )

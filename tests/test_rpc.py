@@ -203,3 +203,70 @@ def test_total_is_match_set_size_not_page_size(svc):
         "pagination": {"start": 0, "count": 50},
     })
     assert one["total"] == len(one["objects"]) == 0
+
+
+def test_deep_page_total_is_one_pass(svc, monkeypatch):
+    """G3 without a second query (ElasticIndexingStorage.java:1557 reads
+    page AND total from ONE response): a deep page must build the match
+    frame ONCE — total comes from the persisted frame, not a separate
+    count_objects job. Probe: count topk invocations (one per match-
+    frame construction)."""
+    from kbasesearchengine_spark.plans import search as search_mod
+
+    calls = {"n": 0}
+    real_topk = search_mod.topk
+
+    def probe(*a, **kw):
+        calls["n"] += 1
+        return real_topk(*a, **kw)
+
+    monkeypatch.setattr(search_mod, "topk", probe)
+    out = _call(svc, "search_objects", {
+        "match_filter": {"full_text_in_all": "license import"},
+        "pagination": {"start": 5, "count": 5},
+    })
+    assert calls["n"] == 1
+    from kbasesearchengine_spark.plans.search import count_objects
+
+    assert out["total"] == count_objects(
+        svc.index, MatchFilter(full_text="license import")
+    )
+    assert len(out["objects"]) == 5
+    # deep RELEVANCE page: also one pass, scores still correct order
+    calls["n"] = 0
+    rel = _call(svc, "search_objects", {
+        "match_filter": {"full_text_in_all": "license import"},
+        "sorting_rules": [{"property": "relevance"}],
+        "pagination": {"start": 5, "count": 5},
+    })
+    assert calls["n"] == 1
+    assert rel["total"] == out["total"]
+    direct = search_objects(
+        svc.index, MatchFilter(full_text="license import"),
+        sorting=[SortingRule("relevance")],
+    ).offset(5).limit(5).collect()
+    assert [o["guid"] for o in rel["objects"]] == [
+        r["doc_id"] for r in direct
+    ]
+
+
+def test_per_field_highlight_map(svc):
+    """T13 extended: the reference returns {field: [fragments]} with
+    readable key names, omitting fields that do not match
+    (ElasticIndexingStorage.java:1096-1100, 1196-1217)."""
+    out = _call(svc, "search_objects", {
+        "match_filter": {"full_text_in_all": "license"},
+        "post_processing": {
+            "include_highlight": 1,
+            "highlight_fields": ["content", "lang"],
+        },
+        "pagination": {"start": 0, "count": 5},
+    })
+    assert out["objects"]
+    for o in out["objects"]:
+        hl = o["highlight"]
+        # content matched (it IS the indexed text); lang never contains
+        # the token 'license' -> omitted from the map, like the reference
+        assert "<em>license</em>" in hl["content"][0].lower()
+        assert "lang" not in hl
+        assert "_all" in hl  # legacy single-payload fragment rides along

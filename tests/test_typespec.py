@@ -335,9 +335,14 @@ versions:
     assert "sub_id" not in index.docs.columns
 
     # child search: 2 child docs ARE 'beta', each with composite GUID and
-    # child-scoped BM25 (dl=1 for every child here)
+    # child-scoped BM25 (dl=1 for every child here; relevance sort
+    # requested — the default non-relevance page is intersection-only
+    # and carries no score)
+    from kbasesearchengine_spark.plans.search import SortingRule
+
     hits = search_objects(
         index, MatchFilter(full_text="beta"), include_subobjects=True,
+        sorting=[SortingRule("relevance")],
         pagination=Pagination(0, 100),
     ).collect()
     assert {r["sub_id"] for r in hits} == {"1:1", "2:0"}
@@ -347,3 +352,19 @@ versions:
     expected = round(math.log(1 + (n - df + 0.5) / (df + 0.5)) / 2.2, 9)
     for r in hits:
         assert round(r["score"], 9) == expected
+
+    # J3: dedicated parent-GUID -> child doc-id lookup over the `*_sub`
+    # index (lookupParentDocIds, ElasticIndexingStorage.java:432-460)
+    from kbasesearchengine_spark.plans.search import lookup_parent_doc_ids
+
+    got = lookup_parent_doc_ids(index, ["1", "3"]).collect()
+    by_parent = {}
+    for r in got:
+        by_parent.setdefault(r["parent_key"], set()).add(r["sub_id"])
+    assert by_parent == {
+        "1": {"1:0", "1:1", "1:2"},
+        "3": {"3:0"},
+    }
+    # child doc_ids are the SUB index's ids (usable with its get_objects)
+    sub_ids = {r["doc_id"] for r in got}
+    assert len(sub_ids) == 4
