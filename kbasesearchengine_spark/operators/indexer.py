@@ -492,7 +492,21 @@ def build_postings_from_docs(
             "doc_id", "segment", "dl", hash_tokens_expr("_text").alias("_toks")
         )
 
-    FLUSH_PAIRS = 12_000_000  # RAM-buffer budget per flush (~0.5 GB arrays)
+    # RAM-buffer budget per flush, in (doc,term) pairs. Sized for the
+    # CACHE tier, not for RAM: the flush kernel is argsort + 5-lane
+    # gather over ~28 B/pair, and with all cores sharing one memory
+    # system the kernel-shape microbench (tools/flush_scaling_probe.py)
+    # runs 4.3x faster at 8 procs and scales 0.92 (vs 0.31) when the
+    # working set drops from 336 MB (12M pairs) to 42 MB/proc. Real
+    # 450k-doc A/B in matched host windows: group-0 68->20.6 s at 8
+    # cores, 76.5->50.3 s at 2 cores. 750k pairs was tried and is WORSE
+    # (group-0 58.7 s vs 24.2 s at 8 cores, same window) — per-flush
+    # fixed costs dominate below ~1M pairs. Smaller flushes emit more
+    # split posting rows per (segment, term) — readers merge those
+    # (disjoint doc ranges; test_tiny_flush_buffer_rank_identical) and
+    # the merge stage consolidates, so the trade is fragment count
+    # (~2x rows, equal bytes at 450k docs) for cache residency.
+    FLUSH_PAIRS = int(os.environ.get("KBSE_FLUSH_PAIRS", "1500000"))
 
     def _flush(seg_l, doc_l, dl_l, tf_l, code_l):
         seg = np.concatenate(seg_l)

@@ -147,3 +147,43 @@ def test_doc_id_offsets_broadcast_path_identical(spark, monkeypatch):
     b = {(r["repo"], r["path"]): r["doc_id"] for r in bj_ids.collect()}
     assert a == b
     assert sorted(a.values()) == list(range(200))
+
+
+def test_tiny_flush_buffer_rank_identical(spark, monkeypatch, tmp_path):
+    """KBSE_FLUSH_PAIRS bounds the flush kernel's working set (sized for
+    the cache tier — see indexer.build_postings_from_docs). A tiny budget
+    forces MANY flushes per partition, so every common term's posting
+    splits into fragment rows; readers must merge them back to results
+    identical to the shared (single-flush) index."""
+    corpus = generate_corpus(spark, 400, parallelism=4)
+    # a flush can only trigger BETWEEN Arrow batches — shrink the batch
+    # so each build partition spans several, then every batch overflows
+    # the 100-pair budget and flushes
+    monkeypatch.setenv("KBSE_FLUSH_PAIRS", "100")
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_batch = spark.conf.get(batch_key, None)
+    spark.conf.set(batch_key, "4")
+    frag_dir = str(tmp_path / "frag_idx")
+    try:
+        IndexBuilder(spark, frag_dir, num_segments=4, segments_per_commit=4).build(
+            corpus, key_cols=["repo", "path", "commit"]
+        )
+    finally:
+        if old_batch is None:
+            spark.conf.unset(batch_key)
+        else:
+            spark.conf.set(batch_key, old_batch)
+    monkeypatch.delenv("KBSE_FLUSH_PAIRS")
+    ref_dir = str(tmp_path / "ref_idx")
+    IndexBuilder(spark, ref_dir, num_segments=4, segments_per_commit=4).build(
+        corpus, key_cols=["repo", "path", "commit"]
+    )
+    frag, ref = InvertedIndex(spark, frag_dir), InvertedIndex(spark, ref_dir)
+    # the tiny budget really did fragment the postings
+    assert frag.postings.count() > 1.5 * ref.postings.count()
+    for q, mode in [("license import", "and"), ("parser http", "or"), ("rfah", "and")]:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in topk(frag, q, k=10, mode=mode, hydrate=False).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in topk(ref, q, k=10, mode=mode, hydrate=False).collect()]
+        assert a == b, q

@@ -43,7 +43,7 @@ def _worker(args):
     # zipf-ish term hashes: ~vocab of pairs/30 like a real code corpus
     vocab = max(1000, pairs // 30)
     codes = rng.integers(0, vocab, size=pairs, dtype=np.int64) * np.int64(
-        0x9E3779B97F4A7C15
+        0x9E3779B97F4A7C15 - (1 << 64)  # golden-ratio mix, as signed int64
     )
     seg = rng.integers(0, 32, size=pairs, dtype=np.int32)
     doc = np.sort(rng.integers(0, 1 << 33, size=pairs, dtype=np.int64))
