@@ -342,6 +342,51 @@ Top-10 docIDs and BM25 scores for the reference query set are
     for k in rn["query_sec"]:
         md += f"| {k} | {rn['query_sec'][k]} | {r4['query_sec'][k]} |\n"
 
+    # Host-window history ACROSS engine revisions: each code_key's best
+    # recorded window per level (the headline above only mixes same-digest
+    # runs — this section shows how much the shared host's least-stolen
+    # window moves between sessions, which is the context for reading a
+    # single session's raw efficiency).
+    by_key: dict[str, dict] = {}
+    if os.path.exists(HISTORY):
+        with open(HISTORY) as f:
+            for line in f:
+                d = json.loads(line)
+                if d["n_rows"] != N_ROWS or d["cores"] not in (LEVEL_N, LEVEL_4N):
+                    continue
+                k = d.get("code_key") or d.get("sha") or "?"
+                g = by_key.setdefault(k, {"first_ts": d["ts"], "last_ts": d["ts"], "n_runs": 0})
+                g["n_runs"] += 1
+                g["last_ts"] = max(g["last_ts"], d["ts"])
+                lvl = d["cores"]
+                if lvl not in g or d["docs_per_sec"] > g[lvl]["docs_per_sec"]:
+                    g[lvl] = d
+    hist_rows = []
+    for k, g in sorted(by_key.items(), key=lambda kv: kv[1]["first_ts"]):
+        bn, b4 = g.get(LEVEL_N), g.get(LEVEL_4N)
+        if not (bn and b4):
+            continue
+        e = (b4["docs_per_sec"] / bn["docs_per_sec"]) / (LEVEL_4N / LEVEL_N)
+        cur = " **(current)**" if k == _code_key() else ""
+        hist_rows.append(
+            f"| {k}{cur} | {g['first_ts'][:16]} → {g['last_ts'][:16]} | {g['n_runs']} "
+            f"| {bn['build_sec']} | {b4['build_sec']} | {e:.3f} |"
+        )
+    md += f"""
+## Window history across engine revisions
+
+Best recorded window per level for EVERY engine digest ever measured at
+{N_ROWS:,} rows (BENCH/scaling_runs.jsonl). Different digests are
+different jobs — their absolute times are not comparable to the headline
+— but the spread shows how far the shared host's least-stolen window
+moves between sessions, which bounds how much of a single session's raw
+efficiency is host weather rather than engine behaviour.
+
+| engine digest | measured over | runs | best local[{LEVEL_N}] s | best local[{LEVEL_4N}] s | pair eff |
+|---|---|---|---|---|---|
+{chr(10).join(hist_rows)}
+"""
+
     prows = []
     pn, p4 = rn.get("phase_sec") or {}, r4.get("phase_sec") or {}
     for ph in sorted(set(pn) | set(p4)):
