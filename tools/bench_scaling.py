@@ -405,7 +405,15 @@ efficiency is host weather rather than engine behaviour.
     md = md.replace("PHASE_TABLE_ROWS", "\n".join(prows) or "| (no phase data) | | | |")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # the canonical report is the default 2->8 pair; other (N, 4N)
+    # choices write alongside it so a second pair's evidence never
+    # clobbers the headline file
+    name = (
+        "BASELINE.md"
+        if (LEVEL_N, LEVEL_4N) == (2, 8)
+        else f"BASELINE_{LEVEL_N}x{LEVEL_4N}.md"
+    )
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         f.write(md)
     print(json.dumps({
         "efficiency": round(eff, 3),
