@@ -49,14 +49,16 @@ def _burn_mem(args) -> int:
     elements rides along in args):
 
       3M  int64 (24 MB/proc)  — cache-tier: spills L2 but several procs
-                                still mostly fit the shared LLC
+                                still mostly fit the shared LLC; since r5
+                                (FLUSH_PAIRS=1.5M ≈ 42 MB of lanes per
+                                flush) this is the shape of the posting
+                                kernel's flush
       40M int64 (320 MB/proc) — DRAM-streaming: every pass misses LLC at
-                                any parallelism; this is the actual shape
-                                of the posting kernel's flush (which
-                                streams ~0.3-0.5 GB of buffers per task)
+                                any parallelism; the PRE-r5 12M-pair
+                                flush shape, kept for context
 
-    On a host whose cores share ONE memory system the DRAM-streaming
-    ceiling is the one that binds the kernel phase; the pure-CPU ceiling
+    On a host whose cores share ONE memory system the cache-tier ceiling
+    is the one that binds the (r5) kernel phase; the pure-CPU ceiling
     measures an L1 workload no engine resembles."""
     import numpy as np
 
@@ -105,7 +107,7 @@ def mem_ceiling(n: int, n4: int, dur: float = 12.0) -> float:
 
 def stream_ceiling(n: int, n4: int, dur: float = 15.0) -> float:
     """DRAM-streaming scaling ceiling (320 MB/proc working set — the
-    posting kernel's actual shape; see _burn_mem)."""
+    PRE-r5 posting kernel's shape, reported for context; see _burn_mem)."""
     return _ceiling(_burn_mem, n, n4, dur, extra=(40_000_000,))
 
 
@@ -288,15 +290,18 @@ session, all from
 
 - **pure-CPU ceiling** (L1-resident python loop): **{ceiling:.3f}**
 - **cache-tier memory ceiling** (numpy sort+gather+reduce, 24 MB/proc
-  working set): **{memceil:.3f}**
+  working set — the shape of the posting kernel's flush since its
+  buffer was cache-tier-sized, FLUSH_PAIRS = 1.5M pairs ≈ 42 MB of
+  lanes): **{memceil:.3f}**
 - **DRAM-streaming ceiling** (same kernel, 320 MB/proc working set —
-  every pass misses the shared LLC, the actual shape of the posting
-  kernel's flush buffers): **{streamceil:.3f}**
+  the engine's PRE-r5 12M-pair flush shape, kept for context):
+  **{streamceil:.3f}**
 
 A data engine's build phases split by access pattern: JVM scan/regex/
 shuffle phases are compute-dense per byte (bound near the pure-CPU
-ceiling), while the numpy posting kernel streams hundreds of MB per
-task (bound by the DRAM-streaming ceiling). {LEVEL_N}→{LEVEL_4N} cores
+ceiling), while the numpy posting kernel is bound by the cache-tier
+memory ceiling (its flush working set is sized to stay out of the
+DRAM-streaming regime). {LEVEL_N}→{LEVEL_4N} cores
 on this VM do not add memory bandwidth. On a real multi-executor
 cluster (the north rule's N→4N EXECUTORS), bandwidth scales with nodes
 and this constraint disappears; the architectural evidence that the
@@ -312,10 +317,11 @@ results across parallelism.
 
 **Scaling efficiency = ({r4['docs_per_sec']} / {rn['docs_per_sec']}) / 4
 = {eff:.3f}** {'(≥0.8 ✓)' if eff >= 0.8 else '(< 0.8 ✗ against the raw bar)'}
-(= {eff/ceiling:.3f} of the pure-CPU ceiling, {eff/memceil:.3f} of the
-cache-tier memory ceiling, **{eff/streamceil:.3f} of the DRAM-streaming
-ceiling** — above 1.0 means the whole build scales better than a plain
-bandwidth-bound numpy kernel does on this host)
+(= {eff/ceiling:.3f} of the pure-CPU ceiling, **{eff/memceil:.3f} of the
+cache-tier memory ceiling** — the binding one since the flush buffer was
+cache-tier-sized — and {eff/streamceil:.3f} of the DRAM-streaming
+ceiling that bound the pre-r5 kernel; above 1.0 means the whole build
+scales better than that plain numpy kernel does on this host)
 
 ## Per-phase scaling (lineage-marker seconds, best run per level)
 
@@ -325,8 +331,8 @@ PHASE_TABLE_ROWS
 
 docs = id assignment + tokenize/hash pass + docs-table write (JVM
 compute-dense; matching ceiling = pure-CPU {ceiling:.3f}); group-* =
-numpy posting kernel + posting write (DRAM-streaming; matching ceiling =
-{streamceil:.3f}); terms = dictionary aggregation (sub-second — its
+numpy posting kernel + posting write (cache-tier flush buffers; matching
+ceiling = {memceil:.3f}); terms = dictionary aggregation (sub-second — its
 ratio is job-scheduling constant, not a scaling signal).
 
 ## Rank-identity across parallelism levels
@@ -392,7 +398,7 @@ efficiency is host weather rather than engine behaviour.
     for ph in sorted(set(pn) | set(p4)):
         a, b = pn.get(ph), p4.get(ph)
         if ph.startswith("group"):
-            ceil_s = f"{streamceil:.3f} (DRAM-stream)"
+            ceil_s = f"{memceil:.3f} (cache-tier)"
         elif ph == "docs":
             ceil_s = f"{ceiling:.3f} (pure-CPU)"
         else:
