@@ -260,9 +260,23 @@ generate_corpus(spark, {N_ROWS}, parallelism=32).write.mode('overwrite').parquet
         x["results"] == runs_n[0]["results"] for x in runs_n + runs_4
     )
 
+    try:
+        companions = sorted(
+            f for f in os.listdir(os.path.join(REPO, "BENCH"))
+            if f.startswith("BASELINE_") and f.endswith(".md")
+        )
+    except OSError:
+        companions = []
+    comp_note = (
+        "\nCompanion pair reports (other N→4N choices, same protocol): "
+        + ", ".join(companions) + ".\n"
+        if companions
+        else ""
+    )
     md = f"""# BENCH — measured results
 
 Generated by tools/bench_scaling.py on {time.strftime('%Y-%m-%d %H:%M:%S')}.
+{comp_note}
 
 ## Scaling efficiency (north rule: ≥0.8 from N to 4N)
 
