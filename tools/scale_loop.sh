@@ -16,6 +16,11 @@ for i in $(seq 1 "$MAX"); do
     break
   fi
   echo "[scale_loop] iteration $i/$MAX $(date -u +%H:%M:%S)"
+  # each invocation leaves ~2.7 GB of corpus+index tempdirs behind; a
+  # night of accumulation fills the disk and fails the workers — drop
+  # finished invocations' dirs (anything older than 30 min is not the
+  # live one)
+  find /tmp -maxdepth 1 -name 'kbse_scale_*' -mmin +30 -exec rm -rf {} + 2>/dev/null
   SCALE_ROUNDS=1 python tools/bench_scaling.py 450000 2 8 \
     >> /tmp/scale_loop.log 2>&1
   echo "[scale_loop] iteration $i done rc=$? $(date -u +%H:%M:%S)"
