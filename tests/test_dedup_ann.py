@@ -82,3 +82,51 @@ def test_lsh_topk_recall(emb):
     # hyperplane LSH with hamming-1 probing: expect decent recall@10
     assert len(exact & approx) >= 5
     assert 0 in approx  # the query vector itself must be found
+
+
+def test_minhash_kernel_matches_expression(spark, docs):
+    """The r6 mapInArrow signature/band kernel must be bit-equivalent to
+    the original expression pipeline (shingles_df -> minhash_signatures
+    -> minhash_band_buckets -> bucket join), including on corpora with
+    byte-identical and near-duplicate rows and under a tiny bucket cap."""
+    dup = docs.limit(4).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        docs.limit(4)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail_tok qq")))
+    )
+    aug = docs.unionByName(dup).unionByName(near)
+
+    def expression_pipeline(src, max_bucket):
+        d = src.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+        surv = (
+            d.select("id", F.md5("t").alias("h"))
+            .groupBy("h").agg(F.min("id").alias("id")).select("id")
+        )
+        d = d.join(surv, "id", "left_semi")
+        sigs = dedup.minhash_signatures(d, "id", "t", 3)
+        buckets = dedup.minhash_band_buckets(sigs)
+        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        buckets = buckets.join(
+            sizes.where(F.col("n") <= max_bucket), ["band", "bucket"]
+        )
+        a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+        b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+        return (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+        )
+
+    for cap in (1000, 2):
+        exp = sorted(
+            (r["id_a"], r["id_b"])
+            for r in expression_pipeline(aug, cap).collect()
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.dedup_minhash_candidates(
+                aug, "doc_id", "text", max_bucket=cap
+            ).collect()
+        )
+        assert got == exp
