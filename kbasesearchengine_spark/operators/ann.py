@@ -40,16 +40,64 @@ def cosine_topk(
 
     Single scan + TakeOrderedAndProject — no shuffle beyond the final
     k-row merge; the scan parallelizes over partitions.
-    """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    The per-row math runs in a mapInArrow numpy kernel (r6): one
+    matrix-product + prefix-sum per batch instead of interpreted
+    higher-order-function lambdas per element (guide §4.2). np.cumsum is
+    a strict left-to-right fold, so the double summation order — and
+    therefore every cosine bit — is IDENTICAL to the previous JVM
+    ``aggregate(zip_with(...))`` fold (asserted over whole tables in
+    tests/test_dedup_ann.py::test_cosine_kernel_bit_equals_hof). Rows
+    with a null vector, null elements, or a width mismatch get a NULL
+    cosine — the JVM zip_with/aggregate null-padding semantics."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = len(query_vec)
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
-    scored = emb.select(
-        F.col(id_col).alias("vec_id"),
-        (
-            _dot(F.col(vec_col).cast("array<double>"), q)
-            / (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn))
-        ).alias("cosine"),
-    )
+    id_field = emb.schema[id_col].dataType.simpleString()
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            vecs = rb.column(1)
+            n = len(vecs)
+            if n == 0:
+                continue
+            lens = vecs.value_lengths()
+            flat = vecs.flatten()
+            uniform = (
+                vecs.null_count == 0
+                and flat.null_count == 0
+                and n * d == len(flat)
+                and lens.to_numpy(zero_copy_only=False).min(initial=d) == d
+                and lens.to_numpy(zero_copy_only=False).max(initial=d) == d
+            )
+            if uniform:
+                m = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                ).reshape(n, d)
+                # cumsum = the exact left fold of the former JVM aggregate
+                dot = np.cumsum(m * q, axis=1)[:, -1]
+                nrm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+                cos = pa.array(dot / (nrm * qn), type=pa.float64())
+            else:
+                out: list[float | None] = []
+                for v in vecs.to_pylist():
+                    if v is None or len(v) != d or any(
+                        x is None for x in v
+                    ):
+                        out.append(None)  # zip_with null-padding semantics
+                        continue
+                    a = np.asarray(v, dtype=np.float64)
+                    dot = np.cumsum(a * q)[-1] if d else 0.0
+                    nrm = np.sqrt(np.cumsum(a * a)[-1] if d else 0.0)
+                    out.append(float(dot / (nrm * qn)))
+                cos = pa.array(out, type=pa.float64())
+            yield pa.RecordBatch.from_arrays([rb.column(0), cos],
+                                             ["vec_id", "cosine"])
+
+    scored = src.mapInArrow(gen, f"vec_id {id_field}, cosine double")
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 

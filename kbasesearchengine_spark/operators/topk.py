@@ -104,11 +104,26 @@ class InvertedIndex:
         return t
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term global df for a handful of query terms.
+
+        Reads the raw per-batch rows (predicate-pruned parquet point
+        lookup) and sums the ≤ terms×batches hits driver-side instead of
+        running a groupBy — the aggregate exchange (and its AQE stage
+        materialization) roughly doubled this job's latency for a lookup
+        whose entire result is a few rows (guide §2.4: remove shuffles
+        outright)."""
         hashes = {term_hash(t): t for t in terms}
-        rows = self.terms.where(
-            F.col("term_hash").isin(list(hashes))
-        ).collect()
-        return {hashes[r["term_hash"]]: int(r["df"]) for r in rows}
+        rows = (
+            self._tbl("terms")
+            .where(F.col("term_hash").isin(list(hashes)))
+            .select("term_hash", "df")
+            .collect()
+        )
+        out: dict[str, int] = {}
+        for r in rows:
+            t = hashes[r["term_hash"]]
+            out[t] = out.get(t, 0) + int(r["df"])
+        return out
 
     def field_index(self, field: str) -> "InvertedIndex":
         """Field-scoped sub-index (P5): per-field postings + per-field

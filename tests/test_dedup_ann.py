@@ -130,3 +130,39 @@ def test_minhash_kernel_matches_expression(spark, docs):
             ).collect()
         )
         assert got == exp
+
+
+def test_cosine_kernel_bit_equals_hof(spark, emb):
+    """The r6 mapInArrow cosine kernel must reproduce the former JVM
+    aggregate(zip_with(...)) fold bit-for-bit (np.cumsum is the same
+    strict left-to-right double summation), including the null-padding
+    semantics for malformed rows."""
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    qn = float(np.sqrt(np.dot(qvec, qvec)))
+
+    def hof_dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def hof_norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    # malformed rows: too short, and a null element
+    bad = spark.createDataFrame(
+        [(900001, [1.0, 2.0]), (900002, [None] + qvec[1:])],
+        f"vec_id bigint, embedding array<double>",
+    )
+    aug = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                     .alias("embedding")).unionByName(bad)
+
+    expected = aug.select(
+        "vec_id",
+        (hof_dot(F.col("embedding"), q)
+         / (hof_norm(F.col("embedding")) * F.lit(qn))).alias("cosine"),
+    ).orderBy(F.desc("cosine"), F.asc("vec_id")).collect()
+    got = ann.cosine_topk(aug, qvec, k=len(expected)).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in expected
+    ]
