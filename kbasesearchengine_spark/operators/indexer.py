@@ -731,9 +731,17 @@ class IndexBuilder:
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t_all = time.time()
+        # observe()-based write metrics are exactly-once only when no task
+        # is executed twice successfully — rule out speculative duplicates
+        # (stage-retry reruns are already impossible in local mode, and
+        # the legacy agg re-read stays as the fallback)
+        use_observe = (
+            spark.conf.get("spark.speculation", "false").lower() != "true"
+        )
 
         docs_path = os.path.join(self.index_dir, "docs")
         cached_docs = None
+        docs_write_task = None
         if not (resume and self.has_marker("docs")):
             t0 = time.time()
             docs, n_docs, total_dl = build_docs(
@@ -750,37 +758,78 @@ class IndexBuilder:
                 if c not in ("_toks", "doc_id", "sha256", "segment")
             ]
             to_store = cached_docs.select(*base, "doc_id", "sha256", "segment")
-            to_store.write.mode("overwrite").partitionBy("segment").parquet(
-                docs_path
-            )
-            sort_cache = getattr(docs, "_kbse_sort_cache", None)
-            if sort_cache is not None:
-                sort_cache.unpersist()  # raw-corpus copy, dead after this write
-            if n_docs == 0:
-                # a zero-row partitionBy write emits NO files — leave a
-                # schema-bearing empty partition so every reader (and the
-                # first incremental add) still infers the layout
-                to_store.drop("segment").limit(0).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(docs_path, "segment=-1"))
-            if total_dl is not None:
-                stats = {"n_docs": n_docs,
-                         "avgdl": total_dl / n_docs if n_docs else 0.0,
-                         "total_dl": int(total_dl),
-                         "max_doc_id": n_docs - 1}
-            else:
-                stats = compute_stats(cached_docs)
-            stats["num_segments"] = self.num_segments
-            stats["seg_size"] = max(1, math.ceil(stats["n_docs"] / self.num_segments))
-            stats["k1"], stats["b"] = 1.2, 0.75
-            stats["format_version"] = FORMAT_VERSION
-            with open(os.path.join(self.index_dir, "stats.json"), "w") as f:
-                json.dump(stats, f)
-            self.write_marker(
-                "docs", {"rows": stats["n_docs"], "seconds": time.time() - t0}
-            )
-        with open(os.path.join(self.index_dir, "stats.json")) as f:
-            stats = json.load(f)
+            doc_obs = None
+            if total_dl is None and use_observe:
+                # stats fall out of the docs write itself — no separate
+                # compute_stats aggregation job (guide §1.2: don't compute
+                # things twice)
+                from pyspark.sql import Observation
+
+                doc_obs = Observation()
+                to_store = to_store.observe(
+                    doc_obs,
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_dl"),
+                    F.max("doc_id").alias("max_doc_id"),
+                )
+
+            def docs_write_task(
+                _to_store=to_store, _docs=docs, _n_docs=n_docs,
+                _total_dl=total_dl, _obs=doc_obs, _t0=t0,
+            ):
+                spark.sparkContext.setJobDescription("index build: docs table")
+                _to_store.write.mode("overwrite").partitionBy(
+                    "segment"
+                ).parquet(docs_path)
+                sort_cache = getattr(_docs, "_kbse_sort_cache", None)
+                if sort_cache is not None:
+                    sort_cache.unpersist()  # raw-corpus copy, dead now
+                if _n_docs == 0:
+                    # a zero-row partitionBy write emits NO files — leave a
+                    # schema-bearing empty partition so every reader (and
+                    # the first incremental add) still infers the layout
+                    _to_store.drop("segment").limit(0).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(docs_path, "segment=-1"))
+                if _total_dl is not None:
+                    st = {"n_docs": _n_docs,
+                          "avgdl": _total_dl / _n_docs if _n_docs else 0.0,
+                          "total_dl": int(_total_dl),
+                          "max_doc_id": _n_docs - 1}
+                elif _obs is not None:
+                    m = _obs.get
+                    nd = int(m["n_docs"] or 0)
+                    st = {"n_docs": nd,
+                          "avgdl": (m["total_dl"] or 0) / nd if nd else 0.0,
+                          "total_dl": int(m["total_dl"] or 0),
+                          "max_doc_id": int(m["max_doc_id"])
+                          if m["max_doc_id"] is not None else -1}
+                else:
+                    st = compute_stats(cached_docs)
+                st["num_segments"] = self.num_segments
+                st["seg_size"] = max(
+                    1, math.ceil(st["n_docs"] / self.num_segments)
+                )
+                st["k1"], st["b"] = 1.2, 0.75
+                st["format_version"] = FORMAT_VERSION
+                with open(os.path.join(self.index_dir, "stats.json"), "w") as f:
+                    json.dump(st, f)
+                self.write_marker(
+                    "docs", {"rows": st["n_docs"], "seconds": time.time() - _t0}
+                )
+                return st
+
+            # the posting groups only need seg_size, which is a pure
+            # function of n_docs — the docs write itself can run
+            # CONCURRENTLY with them (guide §2.6: overlap independent
+            # jobs; both read the same persisted frame, and resume
+            # markers stay ordered per artifact)
+            stats = {"n_docs": n_docs}
+            seg_size = max(1, math.ceil(n_docs / self.num_segments))
+        else:
+            with open(os.path.join(self.index_dir, "stats.json")) as f:
+                stats = json.load(f)
+            seg_size = stats["seg_size"]
 
         docs_df = cached_docs
         if docs_df is None:
@@ -796,7 +845,6 @@ class IndexBuilder:
                 )
                 cached_docs = docs.persist()
                 docs_df = cached_docs
-        seg_size = stats["seg_size"]
         n_segments = max(1, math.ceil(stats["n_docs"] / seg_size))
 
         groups = [
@@ -807,6 +855,9 @@ class IndexBuilder:
 
         def build_group(gi: int, segs: list[int]) -> None:
             t0 = time.time()
+            spark.sparkContext.setJobDescription(
+                f"index build: postings group {gi}"
+            )
             lo, hi = segs[0] * seg_size, (segs[-1] + 1) * seg_size
             part = docs_df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
             # the freshly-assigned cached frame is already partitioned by
@@ -816,6 +867,19 @@ class IndexBuilder:
             postings = build_postings_from_docs(
                 part, text_col, pre_partitioned=cached_docs is not None
             )
+            # marker metrics observed DURING the write (one job instead of
+            # write + column-pruned re-read; exactly-once under the
+            # use_observe guard above)
+            obs = None
+            if use_observe:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                postings = postings.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("df").alias("postings"),
+                )
             postings.write.mode("overwrite").partitionBy("segment").parquet(
                 postings_path
             )
@@ -830,15 +894,18 @@ class IndexBuilder:
                 ).write.mode("overwrite").parquet(
                     os.path.join(postings_path, "segment=-1")
                 )
-            # metrics: column-pruned (segment, df) scan for counts + raw
-            # file sizes from the partition dirs — never re-decodes the
-            # posting payload bytes it just wrote
-            m = (
-                spark.read.parquet(postings_path)
-                .where(F.col("segment").isin([int(s) for s in segs]))
-                .agg(F.count("*").alias("rows"), F.sum("df").alias("postings"))
-                .collect()[0]
-            )
+            if obs is not None:
+                m = obs.get
+            else:
+                # fallback: column-pruned (segment, df) re-read — never
+                # re-decodes the posting payload bytes it just wrote
+                m = (
+                    spark.read.parquet(postings_path)
+                    .where(F.col("segment").isin([int(s) for s in segs]))
+                    .agg(F.count("*").alias("rows"),
+                         F.sum("df").alias("postings"))
+                    .collect()[0]
+                )
             nbytes = 0
             for s in segs:
                 seg_dir = os.path.join(postings_path, f"segment={s}")
@@ -866,25 +933,37 @@ class IndexBuilder:
         ]
         if max_groups is not None:
             # fault-injection path (resume tests): serial, deterministic
+            if docs_write_task is not None:
+                stats = docs_write_task()
             for built, (gi, segs) in enumerate(pending):
                 if built >= max_groups:
                     raise RuntimeError("fault injection: killed mid-build")
                 build_group(gi, segs)
-        elif len(pending) == 1:
-            build_group(*pending[0])
-        elif pending:
-            # commit groups CONCURRENTLY: each group's job only has real
-            # work in ~1/len(groups) of the docs partitions (contiguous
-            # doc ranges), so serial groups would idle most executor slots
+        elif docs_write_task is not None or pending:
+            # commit the docs write AND the posting groups CONCURRENTLY:
+            # each group's job only has real work in ~1/len(groups) of the
+            # docs partitions (contiguous doc ranges) and the docs write is
+            # independent of all of them (it only shares the persisted
+            # frame), so serial execution would idle most executor slots
             # between barriers; concurrent submission keeps the pool full
-            # while preserving per-group lineage markers (each group still
-            # commits + checkpoints independently — a kill loses only
-            # in-flight groups). Disjoint segment partitions ⇒ dynamic
+            # while preserving per-artifact lineage markers (each group
+            # still commits + checkpoints independently — a kill loses only
+            # in-flight work). Disjoint segment partitions ⇒ dynamic
             # partition overwrites never conflict.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(len(pending), 8)) as ex:
-                futures = [ex.submit(build_group, gi, segs) for gi, segs in pending]
+            tasks = list(pending)
+            with ThreadPoolExecutor(
+                max_workers=min(len(tasks) + 1, 8)
+            ) as ex:
+                docs_fut = (
+                    ex.submit(docs_write_task)
+                    if docs_write_task is not None else None
+                )
+                futures = [ex.submit(build_group, gi, segs)
+                           for gi, segs in tasks]
+                if docs_fut is not None:
+                    stats = docs_fut.result()
                 for f in futures:
                     f.result()  # surface the first failure
 
