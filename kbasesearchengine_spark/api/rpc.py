@@ -194,22 +194,27 @@ class RpcService:
         # (spec KBaseSearchEngine.spec:262,281; ES hits.total via
         # ElasticIndexingStorage.java:1557 — the reference reads page AND
         # total from ONE response). Plan:
-        #  - first page: run the bounded fast path; a short page already
-        #    IS the whole match set (total = len, zero extra jobs)
+        #  - first page: run the bounded fast path ONE ROW OVER the page
+        #    size; <= count rows back already IS the whole match set
+        #    (total = len, zero extra jobs — including a match set of
+        #    exactly `count` rows, which previously discarded the page
+        #    and recomputed everything); count+1 rows back means a full
+        #    pass was unavoidable anyway
         #  - otherwise ONE full match pass, persisted, yields the page
         #    and the count together — never the old bounded-query-plus-
         #    full-count double computation
         rows = None
         if pagination.start == 0:
             page = search_objects(
-                self.index, mf, sorting=sorting, pagination=pagination,
+                self.index, mf, sorting=sorting,
+                pagination=Pagination(0, pagination.count + 1),
                 post=post, access=access,
             )
             rows = [r.asDict(recursive=True) for r in page.collect()]
-            if len(rows) < pagination.count:
+            if len(rows) <= pagination.count:
                 total = len(rows)
             else:
-                rows = None  # full page: fall through to the one-pass plan
+                rows = None  # over-full probe: fall through to one-pass plan
         if rows is None:
             relevance = bool(sorting) and sorting[0].key == "relevance"
             frame = match_frame(

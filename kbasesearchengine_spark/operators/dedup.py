@@ -50,16 +50,13 @@ def tokens_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles_df(
+def _shingle_arrays(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct word n-gram shingles as strings.
-
-    Array-native: tokens are split JVM-side, shingles come from
-    transform(sequence)+slice INSIDE the row, and per-doc dedup is
-    array_distinct — zero shuffles and zero per-token rows (the previous
-    posexplode + window-lead + distinct plan shuffled one row per token
-    twice). Output rows are already distinct per (id, shingle)."""
+    """(id, _sh) — the distinct word n-gram shingles of each doc as ONE
+    array column, built entirely inside the row (tokens split JVM-side,
+    shingles from transform(sequence)+slice, per-doc dedup via
+    array_distinct) — zero shuffles, zero per-token rows."""
     sh = F.expr(
         f"CASE WHEN size(_t) >= {n} THEN array_distinct(transform("
         f"sequence(1, size(_t) - {n} + 1), i -> concat_ws(' ', slice(_t, i, {n}))))"
@@ -70,7 +67,17 @@ def shingles_df(
         F.expr(
             f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
         ).alias("_t"),
-    ).select("id", F.explode(sh).alias("shingle"))
+    ).select("id", sh.alias("_sh"))
+
+
+def shingles_df(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word n-gram shingles as strings (exploded
+    rows over _shingle_arrays; already distinct per (id, shingle))."""
+    return _shingle_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("_sh").alias("shingle")
+    )
 
 
 # ------------------------------------------------------------------- exact
@@ -333,8 +340,12 @@ def ngram_jaccard_pairs(
     bounds the per-shingle pair fan-out (skew guard), standard for
     all-pairs similarity at scale. Returns (id_a, id_b, jaccard ≥ threshold).
     """
-    sh = shingles_df(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    base = _shingle_arrays(docs, id_col, text_col, n)
+    sh = base.select("id", F.explode("_sh").alias("shingle"))
+    # per-doc set size comes straight off the in-row array — the former
+    # groupBy(id) over the exploded shingle rows was a pure extra shuffle
+    # (the arrays are already distinct per doc; guide §2.4)
+    sizes = base.select("id", F.size("_sh").cast("bigint").alias("sz"))
     sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     rare = sh.join(sh_df.where(F.col("sdf") <= max_shingle_df), "shingle")
     a = rare.select(F.col("id").alias("id_a"), "shingle")
@@ -467,26 +478,29 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over tokens, tf-weighted.
 
     Bit j of simhash = 1 iff sum over distinct tokens of
-    tf * sign(bit j of h60(token)) > 0. Pure groupBy aggregation —
+    tf * sign(bit j of h52(token)) > 0. Pure groupBy aggregation —
     expressed with built-in bit ops so an SQL oracle can replicate it.
-    """
-    tf = (
-        tokens_df(docs, id_col, text_col)
-        .groupBy("id", "token")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("hx", _h52(F.col("token")))
+
+    The sum is LINEAR in token occurrences (Σ_distinct tf·sign ≡
+    Σ_occurrences sign), so the former groupBy(id, token) tf
+    pre-aggregation was a pure extra shuffle: one groupBy(id) over the
+    exploded (id, hx) rows computes the identical bit sums, and the
+    partial (map-side) aggregation collapses the shuffle to one row of
+    52 longs per id per map partition (guide §2.3-2.4)."""
+    hx = tokens_df(docs, id_col, text_col).select(
+        "id", _h52(F.col("token")).alias("hx")
     )
     bit_terms = []
     for j in range(HASH_BITS):
         bit = F.shiftrightunsigned(F.col("hx"), j) % 2
-        contrib = F.sum(F.col("tf") * (bit * 2 - 1))
+        contrib = F.sum(bit * 2 - 1)
         bit_terms.append(
             F.when(contrib > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
         )
     total = bit_terms[0]
     for t in bit_terms[1:]:
         total = total + t
-    return tf.groupBy("id").agg(total.alias("simhash"))
+    return hx.groupBy("id").agg(total.alias("simhash"))
 
 
 def simhash_near_pairs(

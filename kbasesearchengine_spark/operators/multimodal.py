@@ -66,16 +66,17 @@ def extract_features(blobs: DataFrame, decoder: str = "stub") -> DataFrame:
                     "available in this environment; use decoder='stub'"
                 )
             payloads = pdf["payload"]
+            # vectorized pandas string/struct ops — no per-row lambdas
+            n_bytes = payloads.str.len().astype("int64")
+            first = payloads.str[0]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "n_chars": pdf["meta"].map(lambda m: m["n_chars"]).astype(
-                        "int64"
-                    ),
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
+                    "n_bytes": n_bytes,
+                    "n_chars": pd.DataFrame(list(pdf["meta"]))["n_chars"]
+                    .astype("int64"),
+                    "first_byte": first.where(n_bytes > 0, -1)
+                    .astype("int32"),
                     "decoder": decoder,
                 }
             )

@@ -263,11 +263,25 @@ def publish_externally(
     share the version into the group AND mark it externally published —
     the exists(extpub) clause makes it publicly visible (:1461-1476)."""
     g, v = int(group), int(version)
-    share_object_version(spark, index_dir, obj_predicate, v, g)
+    lastin = _arr_col(spark, index_dir, "access_lastin")
+    groups = _arr_col(spark, index_dir, "access_groups")
     extpub = _arr_col(spark, index_dir, "extpub")
+    garr = F.array(F.lit(g))
+    is_ver = F.col("version") == v
+    # ONE staged rewrite: the share_object_version assignments with the
+    # extpub union folded into the pinned-version branch (the former
+    # share + second update_docs_fields pair rewrote the matched
+    # segments twice for the same final row state)
     return update_docs_fields(
-        spark, index_dir, obj_predicate & (F.col("version") == v),
-        {"extpub": F.array_union(extpub, F.array(F.lit(g)))},
+        spark, index_dir, obj_predicate,
+        {
+            "access_lastin": F.when(is_ver, F.array_union(lastin, garr))
+            .otherwise(F.array_remove(lastin, g)),
+            "access_groups": F.when(is_ver, F.array_union(groups, garr))
+            .otherwise(groups),
+            "extpub": F.when(is_ver, F.array_union(extpub, garr))
+            .otherwise(F.array_remove(extpub, g)),
+        },
     )
 
 

@@ -270,3 +270,31 @@ def test_per_field_highlight_map(svc):
         assert "<em>license</em>" in hl["content"][0].lower()
         assert "lang" not in hl
         assert "_all" in hl  # legacy single-payload fragment rides along
+
+
+def test_exactly_full_first_page_is_one_pass(svc, monkeypatch):
+    """An exactly-count match set must learn its total from the bounded
+    fast path (which probes count+1 rows) WITHOUT falling back to the
+    full persisted pass — one underlying query, not two (r6: the former
+    fast path discarded an exactly-full page and recomputed everything)."""
+    from kbasesearchengine_spark.plans import search as search_mod
+    from kbasesearchengine_spark.plans.search import count_objects
+
+    n_match = count_objects(svc.index, MatchFilter(full_text="license import"))
+    assert n_match > 0
+
+    calls = {"n": 0}
+    real_topk = search_mod.topk
+
+    def probe(*a, **kw):
+        calls["n"] += 1
+        return real_topk(*a, **kw)
+
+    monkeypatch.setattr(search_mod, "topk", probe)
+    out = _call(svc, "search_objects", {
+        "match_filter": {"full_text_in_all": "license import"},
+        "pagination": {"start": 0, "count": n_match},
+    })
+    assert calls["n"] == 1
+    assert out["total"] == n_match
+    assert len(out["objects"]) == n_match
