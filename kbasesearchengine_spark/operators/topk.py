@@ -382,16 +382,20 @@ def topk(
     stats = index.stats
     n, avgdl = stats["n_docs"], stats["avgdl"]
     out_schema = "doc_id bigint, score double" if scores else "doc_id bigint"
-    empty = spark.createDataFrame([], out_schema)
+
+    # the empty frame costs a py4j round trip — build it lazily, only on
+    # the early-return paths (it used to be constructed on EVERY query)
+    def empty():
+        return spark.createDataFrame([], out_schema)
 
     if not terms:
-        return empty
+        return empty()
     dfs = index.term_dfs(terms)
     if mode == "and" and any(t not in dfs for t in terms):
-        return empty  # conjunctive: a term with no postings ⇒ no results
+        return empty()  # conjunctive: a term with no postings ⇒ no results
     terms = [t for t in terms if t in dfs]
     if not terms:
-        return empty
+        return empty()
     # keyed by term_hash; insertion order = sorted-term order (terms is
     # sorted above) — the kernels reduce in this order (score contract).
     # Match-only mode skips the idf math (values unused by the kernels).
@@ -404,7 +408,9 @@ def topk(
         F.col("term_hash").isin(list(idfs.keys()))
     )
 
-    bc = spark.sparkContext.broadcast((idfs, avgdl, k, mode, scores))
+    # a few dozen bytes of query state: ship it in the task closure —
+    # a sc.broadcast here paid a driver round trip per query for nothing
+    bc_value = (idfs, avgdl, k, mode, scores)
 
     if doc_filter is not None:
         # candidate bound from the term dictionary (already in hand — no
@@ -423,7 +429,7 @@ def topk(
             # candidate broadcast — thousands of rows, never the ~10^11
             # docs a low-selectivity predicate passes.
             def score_nofilter(pdf: pd.DataFrame) -> pd.DataFrame:
-                idfs_, avgdl_, _k, mode_, scores_ = bc.value
+                idfs_, avgdl_, _k, mode_, scores_ = bc_value
                 return _segment_topk_kernel(
                     pdf, idfs_, avgdl_, None, mode_, scores=scores_
                 )
@@ -444,7 +450,7 @@ def topk(
             def score_cogroup(
                 p_pdf: pd.DataFrame, d_pdf: pd.DataFrame
             ) -> pd.DataFrame:
-                idfs_, avgdl_, k_, mode_, scores_ = bc.value
+                idfs_, avgdl_, k_, mode_, scores_ = bc_value
                 allowed = np.sort(d_pdf["doc_id"].to_numpy(dtype=np.int64))
                 return _segment_topk_kernel(
                     p_pdf, idfs_, avgdl_, k_, mode_, allowed,
@@ -459,7 +465,7 @@ def topk(
     else:
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            idfs_, avgdl_, k_, mode_, scores_ = bc.value
+            idfs_, avgdl_, k_, mode_, scores_ = bc_value
             return _segment_topk_kernel(
                 pdf, idfs_, avgdl_, k_, mode_, scores=scores_
             )
