@@ -65,20 +65,31 @@ def ref_closure(
     against visited (cycle-safe), and a distinct on the (small) frontier
     only. Terminates at fixpoint or max_hops.
     """
-    spark = edges.sparkSession
+    from functools import reduce
+
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     )
-    visited = (
+    # visited = the UNION of per-hop frontier frames, each persisted once.
+    # Storage stays O(closure) (every node lives in exactly one frontier),
+    # and — unlike the r5 shape, which persisted + fully counted a new
+    # union frame every hop — each hop now runs ONE action (the emptiness
+    # probe); the anti-join reads the cached pieces directly (guide §1.2:
+    # half the per-hop driver round trips in an overhead-bound loop).
+    base = (
         roots.select(F.col(id_col).alias(id_col))
         .distinct()
         .withColumn("hop", F.lit(0))
         .persist()
     )
-    frontier = visited.select(id_col)
+    parts = [base]
+    frontier = base.select(id_col)
     hop = 0
     while hop < max_hops:
         hop += 1
+        visited_ids = reduce(
+            DataFrame.union, [p.select(id_col) for p in parts]
+        )
         # join strategy stays with Catalyst/AQE: a small frontier becomes
         # a broadcast join at runtime, a blown-up one falls back to a
         # shuffle join instead of OOMing the driver (forcing broadcast()
@@ -87,27 +98,17 @@ def ref_closure(
             e.join(frontier.withColumnRenamed(id_col, "__src"), "__src")
             .select(F.col("__dst").alias(id_col))
             .distinct()
-            .join(visited.select(id_col), id_col, "left_anti")
+            .join(visited_ids, id_col, "left_anti")
             .withColumn("hop", F.lit(hop))
         )
-        checkpointed = bool(checkpoint_every and hop % checkpoint_every == 0)
-        if checkpointed:
+        if checkpoint_every and hop % checkpoint_every == 0:
+            # truncate the join lineage so cache eviction at scale cannot
+            # trigger a multi-hop recompute cascade
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist()
         if nxt.limit(1).count() == 0:
-            if not checkpointed:
-                nxt.unpersist()
             break
-        new_visited = visited.union(nxt).persist()
-        new_visited.count()  # materialize BEFORE dropping the inputs
-        # executor storage must stay O(closure), not O(closure * hops):
-        # release the superseded visited frame once the union that
-        # subsumes it is materialized (checkpointed frontiers keep their
-        # blocks — dropping them would truncate new_visited's lineage)
-        visited.unpersist()
-        if not checkpointed:
-            nxt.unpersist()
-        visited = new_visited
-        frontier = new_visited.where(F.col("hop") == hop).select(id_col)
-    return visited
+        parts.append(nxt)
+        frontier = nxt.select(id_col)
+    return reduce(DataFrame.union, parts)

@@ -108,6 +108,27 @@ class AccessFilter:
                 preds.append(
                     F.coalesce(F.size("extpub") > 0, F.lit(False))
                 )
+            if have_cols is not None and "access_lastin" in have_cols:
+                # the PUBLIC pseudo-group (-1): the reference's
+                # createAccessMustBlock adds PUBLIC_ACCESS_GROUP to the
+                # group ids matched against lastin[] (groups[] under
+                # with_all_history) — promote_last_version(public=True)
+                # and share_object_version(..., -1) write these grants
+                # (ADVICE r5: previously no read path honored them)
+                from ..operators.mutate import PUBLIC_ACCESS_GROUP
+
+                prop = (
+                    "access_groups" if self.with_all_history
+                    else "access_lastin"
+                )
+                preds.append(
+                    F.coalesce(
+                        F.array_contains(
+                            F.col(prop), F.lit(PUBLIC_ACCESS_GROUP)
+                        ),
+                        F.lit(False),
+                    )
+                )
         if self.user_groups:
             groups = [int(g) for g in self.user_groups]
             have = have_cols if have_cols is not None else {"access_group"}

@@ -189,3 +189,43 @@ def test_extpub_exists_clause_under_with_public(vidx):
         spark, idx, F.col("obj_id") == 1, group=12, home_group=HOME
     )
     assert _ids(spark, idx, "v125", [], public=True) == []
+
+
+def test_public_pseudo_group_lastin_visible_under_with_public(spark, tmp_path):
+    """ADVICE r5 (medium): promote_last_version(public=True) writes the
+    PUBLIC pseudo-group (-1) into lastin[] — the reference's
+    createAccessMustBlock adds PUBLIC_ACCESS_GROUP to the group ids
+    matched against lastin (groups under withAllHistory), so a
+    with_public caller must see the promoted last version (and, with
+    all-history, every -1-granted version)."""
+    idx_dir = str(tmp_path / "vidx3")
+    corpus = spark.createDataFrame(
+        [(1, 1, "q300 x"), (1, 2, "q301 x")],
+        "obj_id int, version int, text string",
+    )
+    IndexBuilder(spark, idx_dir, num_segments=1, segments_per_commit=1).build(
+        corpus, key_cols=["obj_id", "version"], text_col="text"
+    )
+    from kbasesearchengine_spark.operators.mutate import update_docs_fields
+
+    update_docs_fields(
+        spark, idx_dir, F.lit(True),
+        {"access_groups": F.array(F.lit(HOME)),
+         "access_lastin": F.expr("CAST(array() AS array<int>)"),
+         "extpub": F.expr("CAST(array() AS array<int>)")},
+    )
+    obj1 = F.col("obj_id") == 1
+    promote_last_version(spark, idx_dir, obj1, 1, home_group=HOME,
+                         public=True)
+    # v1 publicly visible through the -1 lastin grant
+    assert _ids(spark, idx_dir, "q300", [], public=True) != []
+    # new version lands: the public pointer moves with the home pointer
+    promote_last_version(spark, idx_dir, obj1, 2, home_group=HOME,
+                         public=True)
+    assert _ids(spark, idx_dir, "q300", [], public=True) == []
+    assert _ids(spark, idx_dir, "q301", [], public=True) != []
+    # with_all_history: groups[] accumulated the -1 grant on both versions
+    assert len(_ids(spark, idx_dir, "x", [], public=True,
+                    all_history=True)) == 2
+    # a caller with neither groups nor public sees nothing (A5)
+    assert _ids(spark, idx_dir, "q301", []) == []
