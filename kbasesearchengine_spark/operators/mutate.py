@@ -65,22 +65,45 @@ def update_docs_fields(
             )
         else:
             new_cols[col] = F.when(predicate, expr).alias(col)
-    updated = part.select(
+    src = part
+    obs = None
+    if spark.conf.get("spark.speculation", "false").lower() != "true":
+        # matched-row count observed during the staging write — the
+        # former separate count job is pure overhead (same exactly-once
+        # guard as the index build's observe metrics)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        src = part.observe(
+            obs,
+            F.sum(F.when(predicate, 1).otherwise(0)).cast("bigint")
+            .alias("n"),
+        )
+    updated = src.select(
         *[new_cols.pop(c) if c in new_cols else F.col(c)
           for c in part.columns],
         *new_cols.values(),
     )
-    n = part.where(predicate).count()
 
-    # stage, then dynamic-overwrite only the affected partitions (Spark
-    # refuses to overwrite a path it is reading from)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # stage the rewritten partitions PARTITIONED in a scratch dir (Spark
+    # refuses to overwrite a path it is reading from), then move each
+    # segment directory into place — one data write instead of the former
+    # write + re-read + second partitioned write. The per-partition swap
+    # has the same (non-atomic-across-partitions) crash semantics as the
+    # dynamic partition overwrite it replaces; a re-run of the same
+    # mutation is idempotent either way.
     tmp = os.path.join(index_dir, "_update_tmp")
-    updated.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
-        "segment"
-    ).parquet(docs_path)
+    updated.write.mode("overwrite").partitionBy("segment").parquet(tmp)
+    n = int(obs.get["n"] or 0) if obs is not None else None
+    for entry in os.scandir(tmp):
+        if entry.is_dir() and entry.name.startswith("segment="):
+            dst = os.path.join(docs_path, entry.name)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.move(entry.path, dst)
     shutil.rmtree(tmp, ignore_errors=True)
+    if n is None:
+        n = part.where(predicate).count()
 
     # marker name must be stable ACROSS processes (idempotence protocol:
     # md5, not Python's per-process-salted hash()) yet UNIQUE per logical

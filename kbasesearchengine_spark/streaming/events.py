@@ -168,16 +168,20 @@ def visible_docs(state: DataFrame) -> DataFrame:
     w = Window.partitionBy(*DOC_KEY).orderBy(
         F.desc("ts"), F.desc_nulls_last("event_id")
     )
+    # BOTH rankings hang off the SAME windowed frame: the content ranking
+    # filters `ranked` (narrow, partitioning preserved) and re-ranks over
+    # the identical window, so the two branches share one Exchange
+    # (ReuseExchange) and the second sort is satisfied by the first —
+    # the r5 shape windowed `state` and `state.where(...)` separately and
+    # paid the full shuffle+sort twice (guide §2.4).
     ranked = state.withColumn("_rn", F.row_number().over(w))
     visible_keys = ranked.where((F.col("_rn") == 1) & (~F.col("tombstone"))).select(
         *DOC_KEY
     )
-    wc = Window.partitionBy(*DOC_KEY).orderBy(
-        F.desc("ts"), F.desc_nulls_last("event_id")
-    )
     latest_content = (
-        state.where((~F.col("tombstone")) & F.col("content").isNotNull())
-        .withColumn("_rn", F.row_number().over(wc))
+        ranked.drop("_rn")
+        .where((~F.col("tombstone")) & F.col("content").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
     )
     return latest_content.join(visible_keys, DOC_KEY, "left_semi").drop(
