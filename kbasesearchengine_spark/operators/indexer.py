@@ -774,16 +774,13 @@ class IndexBuilder:
                 )
 
             def docs_write_task(
-                _to_store=to_store, _docs=docs, _n_docs=n_docs,
+                _to_store=to_store, _n_docs=n_docs,
                 _total_dl=total_dl, _obs=doc_obs, _t0=t0,
             ):
                 spark.sparkContext.setJobDescription("index build: docs table")
                 _to_store.write.mode("overwrite").partitionBy(
                     "segment"
                 ).parquet(docs_path)
-                sort_cache = getattr(_docs, "_kbse_sort_cache", None)
-                if sort_cache is not None:
-                    sort_cache.unpersist()  # raw-corpus copy, dead now
                 if _n_docs == 0:
                     # a zero-row partitionBy write emits NO files — leave a
                     # schema-bearing empty partition so every reader (and
@@ -935,37 +932,34 @@ class IndexBuilder:
             # fault-injection path (resume tests): serial, deterministic
             if docs_write_task is not None:
                 stats = docs_write_task()
+                sc_cache = getattr(docs_df, "_kbse_sort_cache", None)
+                if sc_cache is not None:
+                    sc_cache.unpersist()
             for built, (gi, segs) in enumerate(pending):
                 if built >= max_groups:
                     raise RuntimeError("fault injection: killed mid-build")
                 build_group(gi, segs)
         elif docs_write_task is not None or pending:
-            # commit the docs write AND the posting groups CONCURRENTLY:
-            # each group's job only has real work in ~1/len(groups) of the
-            # docs partitions (contiguous doc ranges) and the docs write is
-            # independent of all of them (it only shares the persisted
-            # frame), so serial execution would idle most executor slots
-            # between barriers; concurrent submission keeps the pool full
-            # while preserving per-artifact lineage markers (each group
-            # still commits + checkpoints independently — a kill loses only
-            # in-flight work). Disjoint segment partitions ⇒ dynamic
-            # partition overwrites never conflict.
-            from concurrent.futures import ThreadPoolExecutor
+            # docs write FIRST, serially: that pass materializes the shared
+            # persisted frame (one computation, no cold-cache race); the
+            # posting groups then run CONCURRENTLY over the warm cache.
+            if docs_write_task is not None:
+                stats = docs_write_task()
+                sort_cache = getattr(docs_df, "_kbse_sort_cache", None)
+                if sort_cache is not None:
+                    sort_cache.unpersist()  # raw-corpus copy, dead now
+            if len(pending) == 1:
+                build_group(*pending[0])
+            elif pending:
+                from concurrent.futures import ThreadPoolExecutor
 
-            tasks = list(pending)
-            with ThreadPoolExecutor(
-                max_workers=min(len(tasks) + 1, 8)
-            ) as ex:
-                docs_fut = (
-                    ex.submit(docs_write_task)
-                    if docs_write_task is not None else None
-                )
-                futures = [ex.submit(build_group, gi, segs)
-                           for gi, segs in tasks]
-                if docs_fut is not None:
-                    stats = docs_fut.result()
-                for f in futures:
-                    f.result()  # surface the first failure
+                with ThreadPoolExecutor(
+                    max_workers=min(len(pending), 8)
+                ) as ex:
+                    futures = [ex.submit(build_group, gi, segs)
+                               for gi, segs in pending]
+                    for f in futures:
+                        f.result()  # surface the first failure
 
         if not (resume and self.has_marker("terms")):
             t0 = time.time()
