@@ -390,6 +390,37 @@ def topk(
 
     if not terms:
         return empty()
+
+    if doc_filter is None and not scores:
+        # match-only (non-relevance pages / hits.total / type aggs): the
+        # kernels only need term PRESENCE, never idf, so the per-query
+        # term-dictionary job is skipped outright (guide §2.4 — one Spark
+        # job instead of two). A globally-absent term simply has no
+        # posting rows: the AND kernels return empty per segment (the
+        # former driver-side early-exit, without its dedicated lookup
+        # job). A joined-in global-df variant for the SCORED path was
+        # measured and rejected: the broadcast build (terms scan + agg +
+        # AQE stage materialization) costs more than the exchange-free
+        # term_dfs point lookup it replaces (+0.07-0.12 s per query).
+        qhashes = [term_hash(t) for t in terms]  # sorted-term order
+        postings_q = index.postings.where(F.col("term_hash").isin(qhashes))
+        bc_value = (qhashes, k, mode)
+
+        def score_matchonly(pdf: pd.DataFrame) -> pd.DataFrame:
+            qh, k_, mode_ = bc_value
+            idfs_ = {h: 0.0 for h in qh}
+            return _segment_topk_kernel(
+                pdf, idfs_, 0.0, k_, mode_, scores=False
+            )
+
+        return postings_q.groupBy("segment").applyInPandas(
+            score_matchonly, schema=out_schema
+        )
+
+    # ---- scored and/or filtered path: idf needs the global df, and the
+    # filtered strategy cutover needs the df bound (rarest-term df for
+    # AND, df sum for OR) — the term dictionary lookup stays a separate
+    # exchange-free point-lookup job (plans/r06/term_dfs_after.txt)
     dfs = index.term_dfs(terms)
     if mode == "and" and any(t not in dfs for t in terms):
         return empty()  # conjunctive: a term with no postings ⇒ no results
