@@ -403,7 +403,16 @@ def topk(
         # AQE stage materialization) costs more than the exchange-free
         # term_dfs point lookup it replaces (+0.07-0.12 s per query).
         qhashes = [term_hash(t) for t in terms]  # sorted-term order
-        postings_q = index.postings.where(F.col("term_hash").isin(qhashes))
+        # column-pruned scan: match-only never touches the tf/dl byte
+        # streams or the tf/dl block metadata, and applyInPandas ships
+        # every column it is given (guide §4.1) — project them out so the
+        # parquet scan reads doc-id payloads + the doc-id skip directory
+        # only (ReadSchema drops tfs/dls/block_max_tf/block_min_dl/
+        # block_tf_off/block_dl_off — most of the index bytes)
+        postings_q = index.postings.where(
+            F.col("term_hash").isin(qhashes)
+        ).select("segment", "term_hash", "doc_ids", "block_last",
+                 "block_doc_off")
         bc_value = (qhashes, k, mode)
 
         def score_matchonly(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -73,15 +73,27 @@ class _LazyTermPostings:
         block_row, block_local, last_l, ub_l = [], [], [], []
         for ri, r in enumerate(rows):
             bl = np.asarray(r["block_last"], dtype=np.int64)
-            bmax = np.asarray(r["block_max_tf"], dtype=np.float64)
-            bmin = np.asarray(r["block_min_dl"], dtype=np.float64)
             block_row.append(np.full(len(bl), ri, dtype=np.int64))
             block_local.append(np.arange(len(bl), dtype=np.int64))
             last_l.append(bl)
-            ub_l.append(idf * tf_norm(bmax, bmin, avgdl))
-            stats["total_bytes"] += (
-                len(r["doc_ids"]) + len(r["tfs"]) + len(r["dls"])
-            )
+            if need_payload:
+                # block upper bounds (used by the OR-path WAND sweep
+                # only). Match-only callers arrive on a column-pruned
+                # frame that carries neither the tf/dl byte streams nor
+                # their block metadata (topk projects them out of the
+                # parquet scan) — and never reads ub.
+                bmax = np.asarray(r["block_max_tf"], dtype=np.float64)
+                bmin = np.asarray(r["block_min_dl"], dtype=np.float64)
+                ub_l.append(idf * tf_norm(bmax, bmin, avgdl))
+                stats["total_bytes"] += (
+                    len(r["doc_ids"]) + len(r["tfs"]) + len(r["dls"])
+                )
+            else:
+                ub_l.append(np.zeros(len(bl), dtype=np.float64))
+                stats["total_bytes"] += len(r["doc_ids"]) + (
+                    len(r["tfs"]) + len(r["dls"])
+                    if "tfs" in r else 0
+                )
             stats["total_blocks"] += len(bl)
         self.block_row = np.concatenate(block_row)
         self.block_local = np.concatenate(block_local)
