@@ -276,23 +276,40 @@ def dedup_minhash_candidates(
     reproduces the uncapped pipeline and stays hash-identical at sf0.01;
     the skew behavior is pinned by tests/test_queryset_skew.py)."""
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    # scale-adaptive parallelism floor: a small corpus parquet arrives as
-    # 1-2 scan splits, which would serialize the whole signature kernel
-    # (and the prefilter's md5 map side) onto one core. At scale the scan
-    # already has >= defaultParallelism splits and this is a no-op — the
-    # repartition only fires when the input is narrower than the machine
-    # (guide §2.5 input skew / §2.6 idle capacity).
     sc = docs.sparkSession.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism)
+    nump = max(sc.defaultParallelism, d.rdd.getNumPartitions())
     if exact_prefilter:
-        surv = (
-            d.select("id", F.md5("__t").alias("__h"))
-            .groupBy("__h")
-            .agg(F.min("id").alias("id"))
-            .select("id")
+        # min-id survivor per byte-identical text as ONE window over the
+        # content hash (row_number == 1 ⇔ min id — ids are unique). The
+        # former groupBy(md5).min(id) + left-semi-join shape shuffled the
+        # TEXT payload across the join exchange AND paid two extra
+        # metadata exchanges (hash agg + semi join build); this shape
+        # moves the text exactly once, into hash-spread partitions that
+        # double as the signature kernel's parallelism (guide §2.3-2.4,
+        # §8: move heavy bytes once). The explicit repartition count is
+        # AQE-stable and keeps the kernel spread across cores when a
+        # small corpus arrives as 1-2 scan splits (no-op width at scale).
+        from pyspark.sql import Window
+
+        d = (
+            d.withColumn("__h", F.md5("__t"))
+            .repartition(nump, "__h")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("__h").orderBy(F.asc("id"))
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("__h", "_rn")
         )
-        d = d.join(surv, "id", "left_semi")
+    elif d.rdd.getNumPartitions() < sc.defaultParallelism:
+        # scale-adaptive parallelism floor: a small corpus parquet
+        # arrives as 1-2 scan splits, which would serialize the whole
+        # signature kernel onto one core. At scale the scan already has
+        # >= defaultParallelism splits and this is a no-op (guide §2.5
+        # input skew / §2.6 idle capacity).
+        d = d.repartition(sc.defaultParallelism)
     # ONE mapInArrow pass (zero shuffle) for signatures + band buckets,
     # then ONE groupBy(band, bucket) with in-row pair expansion replaces
     # the former sizes-agg + size join + a×b self-join (three extra
