@@ -967,7 +967,17 @@ class IndexBuilder:
             # batch=0 partition: incremental adds later contribute their own
             # batch partitions (O(new) increments); readers aggregate df
             # across batches lazily (InvertedIndex.terms)
-            terms = build_terms(postings).withColumn("batch", F.lit(0))
+            # sortWithinPartitions(term_hash): zero extra exchange (the
+            # groupBy already hash-partitioned the dictionary), but each
+            # output file becomes hash-ordered, so parquet row-group
+            # min/max stats prune point lookups — a query-term lookup
+            # reads ~1 row group per file instead of every row group
+            # (guide §6: sort order on write makes stats effective)
+            terms = (
+                build_terms(postings)
+                .sortWithinPartitions("term_hash")
+                .withColumn("batch", F.lit(0))
+            )
             terms.write.mode("overwrite").partitionBy("batch").parquet(
                 os.path.join(self.index_dir, "terms")
             )
@@ -1285,7 +1295,9 @@ def add_documents(
         spark.read.parquet(os.path.join(index_dir, "postings")).where(
             F.col("segment") >= first_new_seg
         )
-    ).withColumn("batch", F.lit(int(first_new_seg)))
+    ).sortWithinPartitions("term_hash").withColumn(
+        "batch", F.lit(int(first_new_seg))
+    )
     new_terms.write.mode("overwrite").partitionBy("batch").parquet(
         os.path.join(index_dir, "terms")
     )

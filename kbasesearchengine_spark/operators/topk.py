@@ -106,20 +106,43 @@ class InvertedIndex:
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Per-term global df for a handful of query terms.
 
-        Reads the raw per-batch rows (predicate-pruned parquet point
-        lookup) and sums the ≤ terms×batches hits driver-side instead of
-        running a groupBy — the aggregate exchange (and its AQE stage
-        materialization) roughly doubled this job's latency for a lookup
-        whose entire result is a few rows (guide §2.4: remove shuffles
-        outright)."""
+        Driver-side pyarrow point lookup — no Spark job at all (the
+        Lucene analog reads its term dictionary locally too). The terms
+        files are written hash-sorted (indexer sortWithinPartitions), so
+        parquet row-group min/max statistics prune the read to ~1 row
+        group per file, and only the (term_hash, df) columns are decoded.
+        The ≤ terms×batches hits are summed driver-side. Falls back to
+        the former exchange-free Spark scan when the directory is not
+        readable through pyarrow (non-local index stores)."""
         hashes = {term_hash(t): t for t in terms}
+        out: dict[str, int] = {}
+        try:
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(
+                os.path.join(self.index_dir, "terms"),
+                format="parquet",
+                partitioning="hive",
+            )
+            tbl = dset.to_table(
+                columns=["term_hash", "df"],
+                filter=pads.field("term_hash").isin(list(hashes)),
+            )
+            for h, d in zip(
+                tbl.column("term_hash").to_pylist(),
+                tbl.column("df").to_pylist(),
+            ):
+                t = hashes[h]
+                out[t] = out.get(t, 0) + int(d)
+            return out
+        except Exception:
+            out = {}
         rows = (
             self._tbl("terms")
             .where(F.col("term_hash").isin(list(hashes)))
             .select("term_hash", "df")
             .collect()
         )
-        out: dict[str, int] = {}
         for r in rows:
             t = hashes[r["term_hash"]]
             out[t] = out.get(t, 0) + int(r["df"])

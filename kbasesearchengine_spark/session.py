@@ -45,6 +45,20 @@ def get_spark(
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
+    # Preload numpy/pandas/pyarrow ONCE in the Python-worker daemon;
+    # forked workers inherit the loaded modules copy-on-write instead of
+    # each paying a cold import on its first task (worker_daemon.py).
+    # PYTHONPATH must carry the repo root before the JVM gateway launches
+    # so the daemon interpreter can import the module.
+    preload = os.environ.get("KBSE_DAEMON_PRELOAD", "1") != "0"
+    if preload:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if repo_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo_root + os.pathsep + pp if pp else repo_root
+            )
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -59,6 +73,11 @@ def get_spark(
         # heap for N concurrent sort/shuffle tasks, not for a driver
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    if preload:
+        b = b.config(
+            "spark.python.daemon.module",
+            "kbasesearchengine_spark.worker_daemon",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
